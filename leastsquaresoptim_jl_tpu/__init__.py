@@ -1,0 +1,52 @@
+"""leastsquaresoptim_jl_tpu — a TPU-native nonlinear least-squares framework.
+
+A from-scratch JAX/XLA/Pallas redesign with the capabilities of
+LeastSquaresOptim.jl (reference mounted read-only at /root/reference):
+Levenberg-Marquardt and Powell-dogleg trust-region optimizers, each
+parameterizable by dense QR, normal-equations Cholesky, or matrix-free LSMR
+inner solvers; forward-mode-AD / central-difference / user Jacobians;
+matrix-free JVP/VJP operation; box constraints with a projected-gradient KKT
+convergence test; Optim-style results and traces — plus TPU-first additions
+the reference lacks: jit/vmap batched fits, residual-row sharding over
+device meshes with psum-reduced Gram systems, distributed LSMR, and a fused
+Pallas Gram kernel.
+
+Public surface mirrors the reference exports
+(reference: src/LeastSquaresOptim.jl:16-46).
+"""
+
+from .api import optimize, optimize_problem, solve
+from .batch import solve_batch
+from .optimizer.base import Dogleg, LevenbergMarquardt
+from .optimizer.common import Options
+from .problem import LeastSquaresProblem, least_squares_problem
+from .result import (
+    IsFiniteError,
+    LeastSquaresResult,
+    OptimizationState,
+    OptimizationTrace,
+    converged,
+)
+from .solver.base import LSMR, QR, Cholesky
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "optimize",
+    "optimize_problem",
+    "solve",
+    "solve_batch",
+    "LeastSquaresProblem",
+    "least_squares_problem",
+    "LeastSquaresResult",
+    "OptimizationState",
+    "OptimizationTrace",
+    "IsFiniteError",
+    "converged",
+    "Dogleg",
+    "LevenbergMarquardt",
+    "QR",
+    "Cholesky",
+    "LSMR",
+    "Options",
+]

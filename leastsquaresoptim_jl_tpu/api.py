@@ -1,0 +1,153 @@
+"""Public entry points: solve (jittable core) and optimize (host verbs).
+
+Counterpart of the reference's Optim-like API layer
+(reference: src/types.jl:161-209):
+
+  * ``solve(problem, optimizer, ...)`` — pure, jit/vmap/pjit-friendly;
+    returns the raw on-device result pytree. This replaces
+    ``optimize!(nls::LeastSquaresProblemAllocated)``.
+  * ``optimize(f, x0, optimizer, ...)`` — the out-of-place convenience verb
+    (reference: optimize, src/types.jl:182-184); jit-compiles and caches the
+    solve, returns a host-side LeastSquaresResult.
+  * ``optimize_problem(problem, optimizer, ...)`` — counterpart of
+    ``optimize!(nls, optimizer)`` (reference: src/types.jl:207-209); the
+    functional API has no in-place mutation, so it returns the result instead
+    of mutating ``problem.x0``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .optimizer import dogleg as _dogleg
+from .optimizer import levenberg_marquardt as _lm
+from .optimizer.base import AbstractOptimizer, Dogleg, LevenbergMarquardt, resolve
+from .optimizer.common import Options, validate_bounds
+from .problem import LeastSquaresProblem, least_squares_problem
+from .result import LeastSquaresResult, result_from_raw
+
+__all__ = ["solve", "optimize", "optimize_problem"]
+
+
+def solve(
+    problem: LeastSquaresProblem,
+    optimizer: Optional[AbstractOptimizer] = None,
+    *,
+    options: Optional[Options] = None,
+    lower=None,
+    upper=None,
+    x0=None,
+):
+    """Pure jittable solve; returns the raw result pytree.
+
+    ``lower``/``upper``/``x0`` may be traced arrays; everything else is
+    static. Vmap over ``x0`` (and any batch dimensions closed over in the
+    problem's residual function) to batch independent fits.
+    """
+    optimizer = resolve(optimizer, problem)
+    options = options or Options()
+    if isinstance(optimizer, LevenbergMarquardt):
+        loop = _lm.optimize_loop
+    elif isinstance(optimizer, Dogleg):
+        loop = _dogleg.optimize_loop
+    else:
+        raise TypeError(f"unknown optimizer {optimizer!r}")
+    return loop(problem, optimizer.solver, options, lower, upper, x0)
+
+
+@functools.lru_cache(maxsize=512)
+def _compiled_solve(problem, optimizer, options, has_lower, has_upper):
+    def run(x0, lower, upper):
+        return solve(
+            problem,
+            optimizer,
+            options=options,
+            lower=lower if has_lower else None,
+            upper=upper if has_upper else None,
+            x0=x0,
+        )
+
+    return jax.jit(run)
+
+
+def _check_initial_bounds(x0, lower, upper):
+    """Reference: levenberg_marquardt.jl:49-51 / dogleg.jl:52-54."""
+    import numpy as np
+
+    x0 = np.asarray(x0)
+    if lower is not None and not np.all(x0 >= np.asarray(lower)):
+        raise ValueError("Initial guess must be within bounds.")
+    if upper is not None and not np.all(x0 <= np.asarray(upper)):
+        raise ValueError("Initial guess must be within bounds.")
+
+
+def optimize_problem(
+    problem: LeastSquaresProblem,
+    optimizer: Optional[AbstractOptimizer] = None,
+    *,
+    x_tol: float = 1e-8,
+    f_tol: float = 1e-8,
+    g_tol: float = 1e-8,
+    iterations: int = 1000,
+    radius: Optional[float] = None,
+    lower=None,
+    upper=None,
+    store_trace: bool = False,
+    show_trace: bool = False,
+    show_every: int = 1,
+) -> LeastSquaresResult:
+    """Solve ``problem``; counterpart of ``optimize!`` (reference: src/types.jl:207-209)."""
+    opts = Options(
+        x_tol=x_tol,
+        f_tol=f_tol,
+        g_tol=g_tol,
+        iterations=iterations,
+        radius=radius,
+        store_trace=store_trace,
+        show_trace=show_trace,
+        show_every=show_every,
+    )
+    lower, upper = validate_bounds(problem.x0, lower, upper)
+    _check_initial_bounds(problem.x0, lower, upper)
+    optimizer = resolve(optimizer, problem)
+    fn = _compiled_solve(
+        problem, optimizer, opts, lower is not None, upper is not None
+    )
+    zeros = jnp.zeros_like(problem.x0)
+    raw = fn(
+        problem.x0,
+        lower if lower is not None else zeros,
+        upper if upper is not None else zeros,
+    )
+    raw = dict(raw)
+    raw["optimizer"] = "LevenbergMarquardt" if isinstance(
+        optimizer, LevenbergMarquardt
+    ) else "Dogleg"
+    return result_from_raw(raw, opts)
+
+
+def optimize(
+    f: Callable,
+    x0,
+    optimizer: Optional[AbstractOptimizer] = None,
+    *,
+    autodiff: str = "forward",
+    g: Optional[Callable] = None,
+    output_length: Optional[int] = None,
+    materialize_jacobian: bool = True,
+    **kwargs,
+) -> LeastSquaresResult:
+    """Minimize sum(f(x)^2) from x0 (reference: optimize, src/types.jl:182-184)."""
+    problem = least_squares_problem(
+        f=f,
+        x=jnp.asarray(x0),
+        g=g,
+        output_length=output_length,
+        autodiff=autodiff,
+        materialize_jacobian=materialize_jacobian,
+    )
+    return optimize_problem(problem, optimizer, **kwargs)

@@ -1,0 +1,66 @@
+"""Batched solves: vmap over thousands of independent fits.
+
+The reference solves problems one ``optimize!`` call at a time; here a batch
+of independent fits (e.g. NIST-style curve fits, the workload model of
+reference test/nonlinearfitting.jl) shares one compiled kernel and saturates
+the MXU. Per-problem convergence is handled by vmap's while_loop batching
+rule: each problem's carry freezes once its own loop condition goes false,
+so results match solving each problem alone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .api import solve
+from .optimizer.common import Options
+from .problem import least_squares_problem
+
+
+def solve_batch(
+    f: Callable,
+    x0_batch,
+    data_batch=None,
+    optimizer=None,
+    *,
+    options: Optional[Options] = None,
+    output_length: Optional[int] = None,
+    autodiff: str = "forward",
+    materialize_jacobian: bool = True,
+    lower=None,
+    upper=None,
+):
+    """Solve a batch of independent fits sharing one residual function.
+
+    ``f`` is either ``f(x) -> r`` (when ``data_batch`` is None) or
+    ``f(x, data) -> r`` with ``data_batch`` a pytree whose leaves have a
+    leading batch axis matching ``x0_batch.shape[0]``. Residual length must
+    be batch-uniform (static shapes).
+
+    Returns the raw result pytree with a leading batch axis on every leaf.
+    Wrap the call in ``jax.jit`` for repeated use.
+    """
+    opts = options or Options()
+    if opts.tracing:
+        raise ValueError("tracing is not supported under batched solves")
+    x0_batch = jnp.asarray(x0_batch)
+
+    def single(x0, data):
+        residual = f if data is None else (lambda x: f(x, data))
+        prob = least_squares_problem(
+            f=residual,
+            x=x0,
+            output_length=output_length,
+            autodiff=autodiff,
+            materialize_jacobian=materialize_jacobian,
+        )
+        return solve(
+            prob, optimizer, options=opts, lower=lower, upper=upper, x0=x0
+        )
+
+    if data_batch is None:
+        return jax.vmap(lambda x0: single(x0, None))(x0_batch)
+    return jax.vmap(single)(x0_batch, data_batch)

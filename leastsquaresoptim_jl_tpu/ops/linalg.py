@@ -1,0 +1,67 @@
+"""Small dense numeric kernels shared by optimizers and solvers.
+
+TPU-native equivalents of the reference's utility kernels
+(reference: src/utils/utils.jl:139-177). Everything here is pure,
+shape-static and jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def colsumabs2(J: jnp.ndarray) -> jnp.ndarray:
+    """Per-column sum of squares of J, i.e. diag(J'J).
+
+    Reference: colsumabs2! (src/utils/utils.jl:139-144). On TPU this is a
+    single fused reduction over the residual axis; under row-sharding it is
+    the local partial that gets `psum`-ed (see parallel/sharded.py).
+    """
+    return jnp.sum(J * J, axis=0)
+
+
+def wdot(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted inner product sum(w * x * y) (reference: src/utils/utils.jl:165-172)."""
+    return jnp.sum(w * x * y)
+
+
+def wnorm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted norm sqrt(sum(w * x^2)) (reference: src/utils/utils.jl:176)."""
+    return jnp.sqrt(wdot(x, x, w))
+
+
+def sumabs2(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squares (ssr) of a residual vector."""
+    return jnp.sum(x * x)
+
+
+def clip_step_to_bounds(dx, x, lower, upper):
+    """Clip a descent step so that x - dx stays inside [lower, upper].
+
+    The step convention follows the reference: the update is ``x <- x - dx``,
+    so feasibility requires ``dx <= x - lower`` and ``dx >= x - upper``
+    (reference: levenberg_marquardt.jl:89-98, dogleg.jl:148-157).
+    `lower` / `upper` may be None (no bound on that side).
+    """
+    if lower is not None:
+        dx = jnp.minimum(dx, x - lower)
+    if upper is not None:
+        dx = jnp.maximum(dx, x - upper)
+    return dx
+
+
+def maxabs_projected_gradient(g, x, lower, upper):
+    """Infinity norm of the gradient projected onto the active box bounds.
+
+    A coordinate sitting at a bound whose gradient points further out of the
+    box is at a local KKT point and is dropped; all other coordinates keep
+    g[i]. With no bounds this reduces to max|g| so the unconstrained path is
+    unchanged (reference: src/utils/utils.jl:39-55).
+    """
+    if lower is None and upper is None:
+        return jnp.max(jnp.abs(g))
+    if lower is not None:
+        g = jnp.where((x <= lower) & (g > 0), jnp.zeros_like(g), g)
+    if upper is not None:
+        g = jnp.where((x >= upper) & (g < 0), jnp.zeros_like(g), g)
+    return jnp.max(jnp.abs(g))

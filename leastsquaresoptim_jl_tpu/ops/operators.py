@@ -1,0 +1,96 @@
+"""Jacobian operator abstraction: materialized and matrix-free.
+
+TPU-native counterpart of the reference's duck-typed operator protocol —
+anything exposing ``mul!(y, A, x)``, ``mul!(x, A', y)``, ``size``, ``eltype``
+(reference: src/utils/lsmr.jl:24-44, README.md:37-47). Here an operator is a
+small record of closures built fresh each outer iteration from the loop
+carry:
+
+  * materialized: from the carried (m, n) Jacobian array J;
+  * matrix-free: from the carried linearization point x_lin via
+    ``jax.linearize`` (one residual evaluation) + ``jax.linear_transpose`` —
+    J is never formed, replacing the reference's user-defined operator types.
+
+``colnorms2`` supplies diag(J'J) for the LM damping diagonal and the Jacobi
+preconditioner (reference: colsumabs2!, src/utils/utils.jl:139-161). For
+matrix-free operators it defaults to a Hutchinson estimator (E[(J'z)_i^2] =
+(J'J)_ii for Rademacher z) using a few rmatvec probes — the stochastic
+stand-in for the reference's requirement that custom operator types define
+their own colsumabs2!.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .linalg import colsumabs2
+
+
+@dataclasses.dataclass(frozen=True)
+class JacobianOperator:
+    """Linear-operator view of the Jacobian at the current linearization point."""
+
+    matvec: Callable[[jnp.ndarray], jnp.ndarray]   # (n,) -> (m,)
+    rmatvec: Callable[[jnp.ndarray], jnp.ndarray]  # (m,) -> (n,)
+    colnorms2: Callable[[], jnp.ndarray]           # () -> (n,) diag(J'J)
+    m: int
+    n: int
+    J: Optional[jnp.ndarray] = None  # set when materialized
+
+
+def from_matrix(J: jnp.ndarray) -> JacobianOperator:
+    m, n = J.shape
+    return JacobianOperator(
+        matvec=lambda v: J @ v,
+        rmatvec=lambda u: J.T @ u,
+        colnorms2=lambda: colsumabs2(J),
+        m=int(m),
+        n=int(n),
+        J=J,
+    )
+
+
+_HUTCHINSON_PROBES = 8
+
+
+def from_linearization(
+    residual_fn: Callable,
+    x_lin: jnp.ndarray,
+    m: int,
+    colnorms_fn: Optional[Callable] = None,
+) -> JacobianOperator:
+    """Matrix-free operator at linearization point ``x_lin``.
+
+    One residual evaluation per construction (jax.linearize); each matvec is
+    then a pure linear JVP and each rmatvec its transpose — XLA fuses both
+    with surrounding ops, so the damped LM system and the preconditioner are
+    operator *combinators*, not materialized matrices (the design the
+    reference anticipates at README.md:37-47).
+    """
+    n = int(x_lin.shape[0])
+    _, jvp_fn = jax.linearize(residual_fn, x_lin)
+    vjp_fn = jax.linear_transpose(jvp_fn, x_lin)
+
+    def rmatvec(u):
+        (out,) = vjp_fn(u)
+        return out
+
+    if colnorms_fn is not None:
+        colnorms2 = lambda: colnorms_fn(x_lin)
+    else:
+        def colnorms2():
+            # Hutchinson diagonal estimate of J'J with fixed Rademacher probes.
+            key = jax.random.PRNGKey(0)
+            z = jax.random.rademacher(
+                key, (_HUTCHINSON_PROBES, m), dtype=x_lin.dtype
+            )
+            cols = jax.vmap(rmatvec)(z)  # (k, n)
+            return jnp.mean(cols * cols, axis=0) * 1.0
+
+    return JacobianOperator(
+        matvec=jvp_fn, rmatvec=rmatvec, colnorms2=colnorms2, m=m, n=n, J=None
+    )

@@ -1,0 +1,263 @@
+"""Powell dogleg trust-region optimizer as a single lax.while_loop.
+
+TPU-native counterpart of reference: src/optimizer/dogleg.jl:41-203. The
+expensive sub-block (Jacobian, gradient, Cauchy length, Gauss-Newton solve)
+runs under a ``lax.cond`` keyed on the reference's ``reuse`` flag (:59,81):
+after a rejected step only the cheap dogleg combination and trial evaluation
+re-run, exactly matching the reference's two-cost-branch loop body.
+
+Geometry is measured in the D-metric ``wnorm(v, dtd)`` with the absolute
+clamp dtd ∈ [1e-6, 1e32] (reference :85-90) and the first-iteration radius
+rescale Δ *= wnorm(x, dtd) (reference :92-97).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import operators
+from ..ops.linalg import (
+    clip_step_to_bounds,
+    maxabs_projected_gradient,
+    sumabs2,
+    wdot,
+    wnorm,
+)
+from ..problem import LeastSquaresProblem
+from ..solver import solver_fns
+from .common import (
+    STATUS_NOT_FINITE,
+    STATUS_OK,
+    Options,
+    assess_convergence,
+    init_trace,
+    update_trace,
+)
+
+
+def optimize_loop(
+    problem: LeastSquaresProblem,
+    solver_tag,
+    opts: Options,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Run dogleg from ``x0``; returns the same raw result pytree as LM."""
+    residual_fn = problem.residual_fn
+    jac_fn = problem.jac_fn
+    materialize = problem.materialize_jacobian
+    m, n = problem.m, problem.n
+    solve_gn, _ = solver_fns(solver_tag)
+
+    x = jnp.asarray(problem.x0 if x0 is None else x0)
+    dt = x.dtype
+    radius0 = (
+        opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_DOGLEG
+    )
+
+    fcur = residual_fn(x)
+    ssr = sumabs2(fcur)
+    false = jnp.zeros((), bool)
+    zero_x = jnp.zeros((n,), dt)
+
+    trace = init_trace(opts, dt)
+    trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
+
+    carry = dict(
+        x=x,
+        fcur=fcur,
+        ssr=ssr,
+        delta=jnp.asarray(radius0, dt),
+        reuse=false,
+        jstate=(jnp.zeros((m, n), dt) if materialize else x),
+        dtd=jnp.ones((n,), dt),
+        dgr=zero_x,
+        dgn=zero_x,
+        alpha=jnp.zeros((), dt),
+        wnorm_dgn=jnp.zeros((), dt),
+        wnorm_dgr=jnp.zeros((), dt),
+        maxabs_gr=jnp.asarray(jnp.inf, dt),
+        it=jnp.int32(0),
+        x_converged=false,
+        f_converged=false,
+        g_converged=false,
+        converged=false,
+        f_calls=jnp.int32(1),
+        g_calls=jnp.int32(0),
+        mul_calls=jnp.int32(0),
+        trace=trace,
+    )
+
+    def cond_fn(c):
+        return (
+            (~c["converged"])
+            & (c["it"] < opts.iterations)
+            & jnp.all(jnp.isfinite(c["x"]))
+        )
+
+    def body_fn(c):
+        it = c["it"] + 1
+        x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
+
+        # Linearization point reuse across rejected steps (reference :81).
+        if materialize:
+            jstate = jax.lax.cond(
+                c["reuse"], lambda: c["jstate"], lambda: jac_fn(x)
+            )
+            op = operators.from_matrix(jstate)
+        else:
+            jstate = jnp.where(c["reuse"], c["jstate"], x)
+            op = operators.from_linearization(residual_fn, jstate, m)
+
+        def expensive():
+            # Reference :85-117: dtd, first-iter Δ rescale, gradient + KKT,
+            # scaled steepest descent, Cauchy length, Gauss-Newton step.
+            dtd = jnp.clip(
+                op.colnorms2(), config.MIN_DIAGONAL, config.MAX_DIAGONAL
+            )
+            wnorm_x = wnorm(x, dtd)
+            delta = jnp.where(
+                (it == 1) & (wnorm_x > 0), c["delta"] * wnorm_x, c["delta"]
+            )
+            g = op.rmatvec(fcur)
+            maxabs_gr = maxabs_projected_gradient(g, x, lower, upper)
+            dgr = g / dtd  # steepest descent in the D-metric (reference :105)
+            wnorm_dgr = wnorm(dgr, dtd)
+            jdgr = op.matvec(dgr)
+            alpha = wnorm_dgr**2 / sumabs2(jdgr)  # Cauchy length (:109-111)
+            dgn, ls_iter = solve_gn(op, fcur)
+            wnorm_dgn = wnorm(dgn, dtd)
+            mul_inc = jnp.int32(2) + ls_iter
+            return (
+                dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
+                maxabs_gr, jnp.int32(1), mul_inc,
+            )
+
+        def reused():
+            return (
+                c["dtd"], c["delta"], c["dgr"], c["dgn"], c["alpha"],
+                c["wnorm_dgn"], c["wnorm_dgr"], c["maxabs_gr"],
+                jnp.int32(0), jnp.int32(0),
+            )
+
+        (
+            dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
+            maxabs_gr, g_inc, mul_inc,
+        ) = jax.lax.cond(c["reuse"], reused, expensive)
+        g_calls = c["g_calls"] + g_inc
+        mul_calls = c["mul_calls"] + mul_inc
+
+        # Classic 3-case dogleg combination in the D-metric (reference :120-145).
+        case_gn = wnorm_dgn <= delta
+        case_cauchy = wnorm_dgr * alpha >= delta
+
+        b_dot_a = alpha * wdot(dgr, dgn, dtd)
+        a_sq = (alpha * wnorm_dgr) ** 2
+        b_minus_a_sq = a_sq - 2.0 * b_dot_a + wnorm_dgn**2
+        cc = b_dot_a - a_sq
+        disc = cc**2 + b_minus_a_sq * (delta**2 - a_sq)
+        dd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        safe = lambda num, den: num / jnp.where(den == 0, jnp.ones((), dt), den)
+        beta = jnp.where(
+            cc <= 0, safe(dd - cc, b_minus_a_sq), safe(delta**2 - a_sq, dd + cc)
+        )
+        dx_interp = beta * dgn + alpha * (1.0 - beta) * dgr
+        dx_cauchy = dgr * safe(delta, wnorm_dgr)
+
+        dx = jnp.where(
+            case_gn, dgn, jnp.where(case_cauchy, dx_cauchy, dx_interp)
+        )
+        wnorm_dx = jnp.where(
+            case_gn,
+            wnorm_dgn,
+            jnp.where(case_cauchy, delta, wnorm(dx_interp, dtd)),
+        )
+
+        # Box clip (reference :148-157), trial point, gain ratio (:159-177).
+        dx = clip_step_to_bounds(dx, x, lower, upper)
+        x_trial = x - dx
+        ftrial = residual_fn(x_trial)
+        f_calls = c["f_calls"] + 1
+        trial_ssr = sumabs2(ftrial)
+        fpredict = op.matvec(dx) - fcur
+        mul_calls = mul_calls + 1
+        predicted_ssr = sumabs2(fpredict)
+        predicted_reduction = jnp.abs(ssr - predicted_ssr)
+        rho = jnp.where(
+            predicted_reduction > 0,
+            (ssr - trial_ssr) / predicted_reduction,
+            jnp.zeros((), dt),
+        )
+
+        accepted = rho >= config.MIN_STEP_QUALITY
+        flags = assess_convergence(
+            dx, x_trial, maxabs_gr, ssr, trial_ssr,
+            opts.x_tol, opts.f_tol, opts.g_tol, accepted,
+        )
+
+        # Trust-region update (reference :193-197) applies on accept or reject.
+        delta = jnp.where(
+            rho < config.DECREASE_THRESHOLD,
+            jnp.maximum(config.MIN_TRUST_REGION_RADIUS, delta * 0.5),
+            jnp.where(
+                rho > config.INCREASE_THRESHOLD,
+                jnp.maximum(delta, 3.0 * wnorm_dx),
+                delta,
+            ),
+        )
+
+        # A non-finite step poisons x in the reference (dogleg.jl:160,190);
+        # reproduce that so the loop halts and surfaces STATUS_NOT_FINITE.
+        step_finite = jnp.all(jnp.isfinite(dx))
+        new = dict(
+            x=jnp.where(accepted | ~step_finite, x_trial, x),
+            fcur=jnp.where(accepted, ftrial, fcur),
+            ssr=jnp.where(accepted, trial_ssr, ssr),
+            delta=delta,
+            reuse=~accepted,
+            jstate=jstate,
+            dtd=dtd,
+            dgr=dgr,
+            dgn=dgn,
+            alpha=alpha,
+            wnorm_dgn=wnorm_dgn,
+            wnorm_dgr=wnorm_dgr,
+            maxabs_gr=maxabs_gr,
+            it=it,
+            x_converged=flags.x_converged,
+            f_converged=flags.f_converged,
+            g_converged=flags.g_converged,
+            converged=flags.converged,
+            f_calls=f_calls,
+            g_calls=g_calls,
+            mul_calls=mul_calls,
+            trace=c["trace"],
+        )
+        new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
+        return new
+
+    out = jax.lax.while_loop(cond_fn, body_fn, carry)
+    status = jnp.where(
+        jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+    )
+    return dict(
+        minimizer=out["x"],
+        ssr=out["ssr"],
+        iterations=out["it"],
+        x_converged=out["x_converged"],
+        f_converged=out["f_converged"],
+        g_converged=out["g_converged"],
+        converged=out["converged"],
+        f_calls=out["f_calls"],
+        g_calls=out["g_calls"],
+        mul_calls=out["mul_calls"],
+        maxabs_gr=out["maxabs_gr"],
+        trace=out["trace"],
+        status=status,
+        jacobian=out["jstate"] if materialize else None,
+    )

@@ -1,0 +1,206 @@
+"""Levenberg-Marquardt trust-region optimizer as a single lax.while_loop.
+
+TPU-native counterpart of reference: src/optimizer/levenberg_marquardt.jl:39-144.
+The entire outer loop — damping, inner solve, box clipping, gain ratio,
+Ceres-style radius update, convergence triple, work counters, trace — runs
+on-device with no host sync per iteration. The reference's
+``need_jacobian`` reuse flag (:62,77-81,132) becomes a ``lax.cond`` over the
+Jacobian evaluation (materialized mode) or a select of the linearization
+point (matrix-free mode).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import operators
+from ..ops.linalg import clip_step_to_bounds, maxabs_projected_gradient, sumabs2
+from ..problem import LeastSquaresProblem
+from ..solver import solver_fns
+from .common import (
+    STATUS_NOT_FINITE,
+    STATUS_OK,
+    Options,
+    assess_convergence,
+    init_trace,
+    update_trace,
+)
+
+
+def optimize_loop(
+    problem: LeastSquaresProblem,
+    solver_tag,
+    opts: Options,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Run LM from ``x0`` (default ``problem.x0``); returns a raw result pytree.
+
+    Pure and jittable; `vmap` over ``x0`` (and data closed over in
+    ``problem.residual_fn``) batches independent fits.
+    """
+    residual_fn = problem.residual_fn
+    jac_fn = problem.jac_fn
+    materialize = problem.materialize_jacobian
+    m, n = problem.m, problem.n
+    solve_gn, solve_damped = solver_fns(solver_tag)
+
+    x = jnp.asarray(problem.x0 if x0 is None else x0)
+    dt = x.dtype
+    radius0 = opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_LM
+
+    fcur = residual_fn(x)
+    ssr = sumabs2(fcur)
+    false = jnp.zeros((), bool)
+
+    trace = init_trace(opts, dt)
+    trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
+
+    carry = dict(
+        x=x,
+        fcur=fcur,
+        ssr=ssr,
+        delta=jnp.asarray(radius0, dt),
+        decrease_factor=jnp.asarray(2.0, dt),
+        need_jacobian=jnp.ones((), bool),
+        jstate=(jnp.zeros((m, n), dt) if materialize else x),
+        maxabs_gr=jnp.asarray(jnp.inf, dt),
+        it=jnp.int32(0),
+        x_converged=false,
+        f_converged=false,
+        g_converged=false,
+        converged=false,
+        f_calls=jnp.int32(1),
+        g_calls=jnp.int32(0),
+        mul_calls=jnp.int32(0),
+        trace=trace,
+    )
+
+    def cond_fn(c):
+        # Non-finite iterates halt the loop: the jit-safe analogue of the
+        # reference's check_isfinite throw at the top of each iteration
+        # (levenberg_marquardt.jl:74).
+        return (
+            (~c["converged"])
+            & (c["it"] < opts.iterations)
+            & jnp.all(jnp.isfinite(c["x"]))
+        )
+
+    def body_fn(c):
+        it = c["it"] + 1
+        x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
+        delta = c["delta"]
+
+        # Jacobian reuse across rejected steps (reference :77-81).
+        if materialize:
+            jstate = jax.lax.cond(
+                c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
+            )
+            op = operators.from_matrix(jstate)
+        else:
+            jstate = jnp.where(c["need_jacobian"], x, c["jstate"])
+            op = operators.from_linearization(residual_fn, jstate, m)
+        g_calls = c["g_calls"] + c["need_jacobian"].astype(jnp.int32)
+
+        # Scale-invariant damping diagonal (reference :82-86).
+        dtd = op.colnorms2()
+        dtd_mean = jnp.mean(dtd)
+        dtd = jnp.clip(
+            dtd, config.MIN_DIAGONAL * dtd_mean, config.MAX_DIAGONAL * dtd_mean
+        )
+        damp = dtd / delta
+
+        # Damped inner solve (reference :87) + box clip (:89-98).
+        dx, lmiter = solve_damped(op, fcur, damp)
+        dx = clip_step_to_bounds(dx, x, lower, upper)
+        mul_calls = c["mul_calls"] + lmiter
+
+        # Projected gradient for the KKT g_tol test, evaluated at the
+        # pre-update x (reference :100-104).
+        g = op.rmatvec(fcur)
+        mul_calls = mul_calls + 1
+        maxabs_gr = maxabs_projected_gradient(g, x, lower, upper)
+
+        # Trial point and gain ratio (reference :106-119).
+        x_trial = x - dx
+        ftrial = residual_fn(x_trial)
+        f_calls = c["f_calls"] + 1
+        trial_ssr = sumabs2(ftrial)
+        fpredict = op.matvec(dx) - fcur
+        mul_calls = mul_calls + 1
+        predicted_ssr = sumabs2(fpredict)
+        predicted_reduction = jnp.abs(ssr - predicted_ssr)
+        rho = jnp.where(
+            predicted_reduction > 0,
+            (ssr - trial_ssr) / predicted_reduction,
+            jnp.zeros((), dt),
+        )
+
+        accepted = rho > config.MIN_STEP_QUALITY
+        flags = assess_convergence(
+            dx, x_trial, maxabs_gr, ssr, trial_ssr,
+            opts.x_tol, opts.f_tol, opts.g_tol, accepted,
+        )
+
+        # Accept: Ceres-style radius growth (reference :126-132).
+        # Reject: halve with doubling decrease factor (reference :133-138).
+        grow = jnp.minimum(
+            delta / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            config.MAX_TRUST_REGION_RADIUS,
+        )
+        shrink = jnp.maximum(
+            delta / c["decrease_factor"], config.MIN_TRUST_REGION_RADIUS
+        )
+        # A non-finite step poisons x in the reference (x is updated before
+        # acceptance and the revert re-adds dx, levenberg_marquardt.jl:106,135);
+        # reproduce that so the loop halts and surfaces STATUS_NOT_FINITE.
+        step_finite = jnp.all(jnp.isfinite(dx))
+        new = dict(
+            x=jnp.where(accepted | ~step_finite, x_trial, x),
+            fcur=jnp.where(accepted, ftrial, fcur),
+            ssr=jnp.where(accepted, trial_ssr, ssr),
+            delta=jnp.where(accepted, grow, shrink),
+            decrease_factor=jnp.where(
+                accepted, jnp.asarray(2.0, dt), c["decrease_factor"] * 2.0
+            ),
+            need_jacobian=accepted,
+            jstate=jstate,
+            maxabs_gr=maxabs_gr,
+            it=it,
+            x_converged=flags.x_converged,
+            f_converged=flags.f_converged,
+            g_converged=flags.g_converged,
+            converged=flags.converged,
+            f_calls=f_calls,
+            g_calls=g_calls,
+            mul_calls=mul_calls,
+            trace=c["trace"],
+        )
+        new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
+        return new
+
+    out = jax.lax.while_loop(cond_fn, body_fn, carry)
+    status = jnp.where(
+        jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+    )
+    return dict(
+        minimizer=out["x"],
+        ssr=out["ssr"],
+        iterations=out["it"],
+        x_converged=out["x_converged"],
+        f_converged=out["f_converged"],
+        g_converged=out["g_converged"],
+        converged=out["converged"],
+        f_calls=out["f_calls"],
+        g_calls=out["g_calls"],
+        mul_calls=out["mul_calls"],
+        maxabs_gr=out["maxabs_gr"],
+        trace=out["trace"],
+        status=status,
+        jacobian=out["jstate"] if materialize else None,
+    )

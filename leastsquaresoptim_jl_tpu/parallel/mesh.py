@@ -1,0 +1,61 @@
+"""Device-mesh helpers for residual-row and batch parallelism.
+
+The reference has no parallelism of any kind (SURVEY.md §2); the TPU-native
+scale axes for NLLS are:
+
+  * ``rows``  — shard residual rows (blocks of f and J) across chips; every
+    reduction the reference performs over the residual index (ssr, column
+    norms, J'f, ||J dx||^2) is row-separable and becomes one psum.
+  * ``batch`` — shard independent vmapped fits across chips (pure DP).
+
+Collectives are inserted by XLA's SPMD partitioner from sharding
+annotations (the scaling-book recipe); explicit shard_map kernels for the
+Gram reduction and LSMR matvecs live in parallel/sharded.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("rows",),
+    devices=None,
+) -> Mesh:
+    """Create a mesh over all (or the given) devices.
+
+    ``make_mesh()`` -> 1D mesh ('rows',) over every device.
+    ``make_mesh((2, 4), ('batch', 'rows'))`` -> 2D batch x rows mesh.
+    """
+    devices = list(jax.devices() if devices is None else devices)
+    if shape is None:
+        shape = (len(devices),)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh shape {shape} does not match device count {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def shard_rows(data, mesh: Mesh, axis: str = "rows"):
+    """Place a pytree with leading row axis on the mesh, sharded over ``axis``.
+
+    Leading dimensions must be divisible by the mesh axis size (pad with
+    zero-weight rows otherwise; zero rows are exact no-ops for Gram/ssr
+    reductions).
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, sharding), data
+    )
+
+
+def replicated(x, mesh: Mesh):
+    """Fully-replicate an array over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))

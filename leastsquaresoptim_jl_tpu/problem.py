@@ -1,0 +1,178 @@
+"""Problem model and Jacobian synthesis.
+
+TPU-native redesign of the reference's problem layer
+(reference: src/types.jl:7-68). Instead of mutable buffers and in-place
+``f!(out, x)`` / ``g!(J, x)`` callbacks, a problem is an immutable record
+holding *pure* functions:
+
+    residual_fn(x) -> r          (shape (m,), static)
+    jac_fn(x) -> J               (shape (m, n), synthesized if absent)
+
+Jacobian synthesis replaces FiniteDiff/ForwardDiff closures
+(reference: src/types.jl:54-66) with JAX transforms:
+
+    autodiff='forward'  -> jax.jacfwd           (exact, MXU-batched JVPs)
+    autodiff='central'  -> central differences  (debug cross-check parity
+                                                 with the reference default)
+
+For matrix-free operation (the LSMR path) the Jacobian is never
+materialized: JVP/VJP closures are built per linearization point with
+``jax.linearize`` / ``jax.linear_transpose`` (see solver/lsmr.py), which
+is the TPU-native counterpart of the duck-typed operator protocol in
+reference: src/utils/lsmr.jl:24-44 and README.md:37-47.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _central_difference_jacobian(residual_fn: Callable) -> Callable:
+    """Central finite-difference Jacobian, column-batched with vmap.
+
+    Mirrors the reference's FiniteDiff ``:central`` default
+    (reference: src/types.jl:56-58): relative step per coordinate, two
+    residual evaluations per column, vmapped so the 2n evaluations run as
+    one batched call on the MXU/VPU instead of a scalar loop.
+    """
+
+    def jac_fn(x):
+        x = jnp.asarray(x)
+        eps = jnp.finfo(x.dtype).eps
+        # FiniteDiff-style relative central step: h_j = cbrt(eps) * max(|x_j|, 1)
+        h = jnp.cbrt(eps) * jnp.maximum(jnp.abs(x), 1.0)
+        eye = jnp.eye(x.shape[0], dtype=x.dtype)
+        steps = eye * h  # row j = h_j * e_j
+
+        def col(step):
+            return residual_fn(x + step) - residual_fn(x - step)
+
+        cols = jax.vmap(col)(steps)  # (n, m)
+        return (cols / (2.0 * h)[:, None]).T
+
+    return jac_fn
+
+
+def synthesize_jacobian(residual_fn: Callable, autodiff: str = "forward") -> Callable:
+    """Build ``jac_fn(x) -> J`` from a pure residual function.
+
+    Replaces the closure synthesis at reference: src/types.jl:54-66.
+    ``'forward'`` is the default here (exact derivatives are both faster and
+    more accurate under jit than finite differences); ``'central'`` is kept
+    for behavioral parity with the reference default.
+    """
+    if autodiff == "forward":
+        return jax.jacfwd(residual_fn)
+    if autodiff == "reverse":
+        return jax.jacrev(residual_fn)
+    if autodiff == "central":
+        return _central_difference_jacobian(residual_fn)
+    raise ValueError(
+        f"Invalid automatic differentiation method {autodiff!r}; "
+        "expected 'forward', 'reverse' or 'central'."
+    )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-cache key
+class LeastSquaresProblem:
+    """An immutable nonlinear least-squares problem: minimize sum(f(x)^2).
+
+    TPU-native counterpart of the reference ``LeastSquaresProblem``
+    (reference: src/types.jl:7-68). Construct with :func:`least_squares_problem`
+    or the keyword constructor below.
+
+    Attributes:
+      residual_fn: pure function x -> residual vector of length ``m``.
+      x0: initial parameter vector (n,).
+      m: static residual length (``output_length`` in the reference).
+      jac_fn: pure function x -> (m, n) Jacobian. Synthesized when absent.
+      materialize_jacobian: if False, solvers that can run matrix-free
+        (LSMR) use JVP/VJP closures and never form J.
+    """
+
+    residual_fn: Callable
+    x0: jnp.ndarray
+    m: int
+    jac_fn: Callable
+    materialize_jacobian: bool = True
+
+    @property
+    def n(self) -> int:
+        return int(self.x0.shape[0])
+
+    def residual(self, x):
+        return self.residual_fn(x)
+
+    def jacobian(self, x):
+        return self.jac_fn(x)
+
+
+def least_squares_problem(
+    f: Optional[Callable] = None,
+    x: Optional[jnp.ndarray] = None,
+    *,
+    output_length: Optional[int] = None,
+    g: Optional[Callable] = None,
+    autodiff: str = "forward",
+    materialize_jacobian: bool = True,
+) -> LeastSquaresProblem:
+    """Keyword constructor mirroring the reference problem constructor.
+
+    Reference: src/types.jl:40-68. Shape validation happens eagerly (by one
+    abstract evaluation of ``f``) so errors surface at problem construction,
+    like the reference's DimensionMismatch checks (src/types.jl:14-15).
+    """
+    if f is None:
+        raise ValueError("residual function f is required")
+    if x is None:
+        raise ValueError("initial x is required")
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError(f"x must be a vector, got shape {x.shape}")
+
+    # Wrap scalar-valued residuals (reference regression: issue #41,
+    # test/runtests.jl:43-46).
+    base_f = f
+
+    def residual_fn(xx):
+        r = base_f(xx)
+        r = jnp.asarray(r)
+        if r.ndim == 0:
+            r = r[None]
+        return r
+
+    if output_length is None:
+        out_shape = jax.eval_shape(residual_fn, x)
+        output_length = int(np.prod(out_shape.shape))
+    m = int(output_length)
+
+    if g is not None:
+        jac_fn = g
+    else:
+        jac_fn = synthesize_jacobian(residual_fn, autodiff)
+
+    # Validate shapes abstractly (no FLOPs): f must produce (m,) and J (m, n).
+    r_shape = jax.eval_shape(residual_fn, x)
+    if tuple(r_shape.shape) != (m,):
+        raise ValueError(
+            f"residual function returns shape {r_shape.shape}, expected ({m},)"
+        )
+    j_shape = jax.eval_shape(jac_fn, x)
+    if tuple(j_shape.shape) != (m, x.shape[0]):
+        raise ValueError(
+            f"jacobian function returns shape {j_shape.shape}, "
+            f"expected ({m}, {x.shape[0]})"
+        )
+
+    return LeastSquaresProblem(
+        residual_fn=residual_fn,
+        x0=x,
+        m=m,
+        jac_fn=jac_fn,
+        materialize_jacobian=materialize_jacobian,
+    )

@@ -1,0 +1,155 @@
+"""Result and trace types with Optim.jl-style reporting.
+
+Counterpart of reference: src/types.jl:220-269 (LeastSquaresResult + show)
+and src/utils/utils.jl:86-131 (OptimizationState/OptimizationTrace).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+
+class IsFiniteError(Exception):
+    """Raised when the iterate becomes non-finite.
+
+    Counterpart of the reference IsFiniteException
+    (src/utils/utils.jl:63-78); under jit the condition is surfaced as a
+    status code instead and only the host-level API raises.
+    """
+
+    def __init__(self, indices):
+        self.indices = list(indices)
+        super().__init__(
+            "During the resolution of the non-linear system, the evaluation "
+            f"of the following equation(s) resulted in a non-finite number: "
+            f"{self.indices}"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationState:
+    """One trace row (reference: src/utils/utils.jl:86-90)."""
+
+    iteration: int
+    value: float
+    g_norm: float
+
+    def __str__(self):
+        return f"{self.iteration:6d}   {self.value:14e}   {self.g_norm:14e}\n"
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationTrace:
+    """Sequence of trace rows (reference: src/utils/utils.jl:92-131)."""
+
+    states: List[OptimizationState]
+
+    def __len__(self):
+        return len(self.states)
+
+    def __getitem__(self, i):
+        return self.states[i]
+
+    def __str__(self):
+        out = [
+            "Iter     Function value   Gradient norm \n",
+            "------   --------------   --------------\n",
+        ]
+        out += [str(s) for s in self.states]
+        return "".join(out)
+
+
+def trace_from_array(arr) -> OptimizationTrace:
+    """Convert the fixed-size on-device trace buffer into host rows."""
+    states = []
+    arr = np.asarray(arr)
+    for row in arr:
+        if np.isnan(row[1]):
+            continue
+        states.append(
+            OptimizationState(int(row[0]), float(row[1]), float(row[2]))
+        )
+    return OptimizationTrace(states)
+
+
+@dataclasses.dataclass(frozen=True)
+class LeastSquaresResult:
+    """Solve report (reference: src/types.jl:220-246)."""
+
+    optimizer: str
+    minimizer: np.ndarray
+    ssr: float
+    iterations: int
+    converged: bool
+    x_converged: bool
+    x_tol: float
+    f_converged: bool
+    f_tol: float
+    g_converged: bool
+    g_tol: float
+    tr: OptimizationTrace
+    f_calls: int
+    g_calls: int
+    mul_calls: int
+    jacobian: Optional[np.ndarray] = None
+
+    def __repr__(self):
+        status = (
+            "success"
+            if self.converged
+            else "failure (reached maximum number of iterations)"
+        )
+        cmp = lambda b: "<=" if b else ">"
+        return (
+            "Results of Optimization Algorithm\n"
+            f" * Status: {status}\n\n"
+            " * Candidate solution\n"
+            f"    Final objective value:     {self.ssr:.6e}\n\n"
+            " * Found with\n"
+            f"    Algorithm:     {self.optimizer}\n\n"
+            " * Convergence measures\n"
+            f"    |x - x'|               {cmp(self.x_converged)} {self.x_tol:.1e}\n"
+            f"    |f(x) - f(x')| / |f(x)| {cmp(self.f_converged)} {self.f_tol:.1e}\n"
+            f"    |g(x)|                 {cmp(self.g_converged)} {self.g_tol:.1e}\n\n"
+            " * Work counters\n"
+            f"    Iterations:    {self.iterations}\n"
+            f"    f(x) calls:    {self.f_calls}\n"
+            f"    J(x) calls:    {self.g_calls}\n"
+            f"    mul calls:     {self.mul_calls}\n"
+        )
+
+
+def converged(r: LeastSquaresResult) -> bool:
+    """Reference: src/types.jl:243-245."""
+    return r.x_converged or r.f_converged or r.g_converged
+
+
+def result_from_raw(raw, opts, residual_at_min=None) -> LeastSquaresResult:
+    """Materialize a host-side result from the raw on-device pytree."""
+    minimizer = np.asarray(raw["minimizer"])
+    if int(np.asarray(raw["status"])) != 0:
+        bad = [int(i) for i in np.flatnonzero(~np.isfinite(minimizer))]
+        raise IsFiniteError(bad)
+    return LeastSquaresResult(
+        optimizer=raw["optimizer"],
+        minimizer=minimizer,
+        ssr=float(np.asarray(raw["ssr"])),
+        iterations=int(np.asarray(raw["iterations"])),
+        converged=bool(np.asarray(raw["converged"])),
+        x_converged=bool(np.asarray(raw["x_converged"])),
+        x_tol=opts.x_tol,
+        f_converged=bool(np.asarray(raw["f_converged"])),
+        f_tol=opts.f_tol,
+        g_converged=bool(np.asarray(raw["g_converged"])),
+        g_tol=opts.g_tol,
+        tr=trace_from_array(raw["trace"]),
+        f_calls=int(np.asarray(raw["f_calls"])),
+        g_calls=int(np.asarray(raw["g_calls"])),
+        mul_calls=int(np.asarray(raw["mul_calls"])),
+        jacobian=(
+            np.asarray(raw["jacobian"]) if raw["jacobian"] is not None else None
+        ),
+    )

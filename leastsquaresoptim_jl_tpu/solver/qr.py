@@ -1,0 +1,80 @@
+"""Dense QR linear solver.
+
+TPU-native counterpart of reference: src/solver/dense_qr.jl.
+
+Gauss-Newton solve (Dogleg path, reference :30-42):
+    dx = argmin ||J dx - y||        via QR of J.
+
+Damped solve (LM path, reference :56-88):
+    dx = argmin ||[J; diag(sqrt(d))] dx - [y; 0]||
+via QR of the stacked (m+n, n) matrix — numerically preferable to forming
+J'J + diag(d) explicitly.
+
+The reference relies on LAPACK's column-pivoted QR (geqp3,
+``qr!(.., ColumnNorm())``, reference :37, :83) for rank-deficient J. XLA has
+no pivoted QR, so when the unpivoted triangular solve yields non-finite
+values we fall back (via lax.cond — only one branch executes per call) to a
+jittered normal-equations solve, which returns a bounded near-minimum-norm
+step on singular systems. The damped LM system is always full column rank
+for d > 0 and never takes the fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ops.gram import gram_and_rhs
+
+
+def _jittered_normal_solve(J, y):
+    """Fallback for rank-deficient J: (J'J + eps*mean(diag)*I) dx = J'y."""
+    gram, rhs = gram_and_rhs(J, y)
+    n = gram.shape[0]
+    diag_mean = jnp.trace(gram) / n
+    eps = jnp.finfo(gram.dtype).eps
+    jitter = jnp.maximum(diag_mean, 1.0) * eps * 100.0
+    gram = gram + jitter * jnp.eye(n, dtype=gram.dtype)
+    L = jax.scipy.linalg.cholesky(gram, lower=True)
+    z = solve_triangular(L, rhs, lower=True)
+    return solve_triangular(L.T, z, lower=False)
+
+
+def solve_gn(J, y):
+    """Gauss-Newton solve: dx = argmin ||J dx - y|| (reference: dense_qr.jl:30-42).
+
+    Returns (dx, mvps) where mvps = 1 matches the reference's matvec
+    accounting (reference: dense_qr.jl:41). Underdetermined systems (m < n)
+    take the min-norm route dx = J'(JJ' + eps I)^{-1} y, covering the
+    reference's pivoted-QR behavior for wide J.
+    """
+    m, n = J.shape
+    if m < n:
+        row_gram = J @ J.T
+        eps = jnp.finfo(J.dtype).eps
+        jitter = jnp.maximum(jnp.trace(row_gram) / m, 1.0) * eps * 100.0
+        L = jax.scipy.linalg.cholesky(
+            row_gram + jitter * jnp.eye(m, dtype=J.dtype), lower=True
+        )
+        z = solve_triangular(L, y, lower=True)
+        w = solve_triangular(L.T, z, lower=False)
+        return J.T @ w, jnp.int32(1)
+    q, r = jnp.linalg.qr(J, mode="reduced")
+    qty = q.T @ y
+    dx = solve_triangular(r, qty, lower=False)
+    ok = jnp.all(jnp.isfinite(dx))
+    dx = jax.lax.cond(ok, lambda: dx, lambda: _jittered_normal_solve(J, y))
+    return dx, jnp.int32(1)
+
+
+def solve_damped(J, y, damp):
+    """Damped solve via QR of the stacked system [J; diag(sqrt(damp))]
+    with rhs [y; 0] (reference: dense_qr.jl:56-88)."""
+    n = J.shape[1]
+    stacked = jnp.concatenate([J, jnp.diag(jnp.sqrt(damp))], axis=0)
+    rhs = jnp.concatenate([y, jnp.zeros((n,), dtype=y.dtype)], axis=0)
+    q, r = jnp.linalg.qr(stacked, mode="reduced")
+    qty = q.T @ rhs
+    dx = solve_triangular(r, qty, lower=False)
+    return dx, jnp.int32(1)

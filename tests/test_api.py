@@ -1,0 +1,128 @@
+"""README-level API tests + regressions (reference: test/runtests.jl:19-70)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+
+
+def rosenbrock(x):
+    return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])
+
+
+def rosenbrock_jac(x):
+    return jnp.array([[-1.0, 0.0], [-200.0 * x[0], 100.0]])
+
+
+def test_readme_out_of_place():
+    for opt in (lso.Dogleg(), lso.LevenbergMarquardt()):
+        r = lso.optimize(rosenbrock, jnp.zeros(2), opt)
+        assert r.converged
+        assert np.allclose(r.minimizer, [1.0, 1.0], atol=1e-6)
+
+
+def test_readme_central_autodiff():
+    r = lso.optimize(rosenbrock, jnp.zeros(2), lso.Dogleg(), autodiff="central")
+    assert r.converged
+    assert np.allclose(r.minimizer, [1.0, 1.0], atol=1e-5)
+
+
+def test_readme_with_jacobian():
+    r = lso.optimize(rosenbrock, jnp.zeros(2), lso.Dogleg(), g=rosenbrock_jac)
+    assert r.converged
+    assert np.allclose(r.minimizer, [1.0, 1.0], atol=1e-6)
+
+
+def test_scalar_valued_function():
+    """Scalar residual regression (reference issue #41, runtests.jl:43-46)."""
+    func = lambda x: jnp.sum(x**2)
+    for opt in (lso.Dogleg(), lso.LevenbergMarquardt()):
+        r = lso.optimize(func, jnp.array([1.0, 1.0]), opt)
+        assert r.ssr <= 1e-3
+
+
+def test_output_length_inference_nonsquare():
+    """output_length must come from the residual length, not n
+    (reference: runtests.jl:52-61)."""
+
+    def overdet(x):
+        return jnp.array([x[0] - 1, x[1] - 2, x[2] - 3, x[0] + x[1], x[1] + x[2]])
+
+    p = lso.least_squares_problem(f=overdet, x=jnp.zeros(3))
+    assert p.m == 5
+    r = lso.optimize_problem(p, lso.Dogleg())
+    assert r.converged
+
+
+def test_store_trace():
+    """store_trace populates OptimizationState rows (reference: runtests.jl:63-70)."""
+    for opt in (lso.LevenbergMarquardt(), lso.Dogleg()):
+        r = lso.optimize(rosenbrock, jnp.zeros(2), opt, store_trace=True)
+        assert len(r.tr) >= 1
+        assert isinstance(r.tr[0], lso.OptimizationState)
+        # iteration 0 row records the initial ssr
+        assert r.tr[0].iteration == 0
+        assert r.tr[0].value == pytest.approx(1.0)
+        s = str(r.tr)
+        assert "Function value" in s
+
+
+def test_result_show():
+    r = lso.optimize(rosenbrock, jnp.zeros(2), lso.Dogleg())
+    s = repr(r)
+    assert "Results of Optimization Algorithm" in s
+    assert "success" in s
+    assert "Dogleg" in s
+
+
+def test_work_counters():
+    r = lso.optimize(rosenbrock, jnp.zeros(2), lso.LevenbergMarquardt())
+    assert r.f_calls >= r.iterations + 1
+    assert 1 <= r.g_calls <= r.iterations
+    assert r.mul_calls >= 2 * r.iterations
+
+
+def test_radius_option_and_tolerances():
+    r = lso.optimize(
+        rosenbrock, jnp.zeros(2), lso.LevenbergMarquardt(), radius=1.0,
+        x_tol=1e-12, f_tol=1e-12, g_tol=1e-12,
+    )
+    assert r.converged
+    assert r.x_tol == 1e-12
+
+
+def test_non_finite_raises():
+    """Counterpart of the reference IsFiniteException
+    (src/utils/utils.jl:63-78)."""
+
+    def bad(x):
+        return jnp.array([jnp.sqrt(x[0] - 10.0), x[1]]) * jnp.inf
+
+    with pytest.raises(lso.IsFiniteError):
+        lso.optimize(bad, jnp.ones(2) * 20.0, lso.LevenbergMarquardt())
+
+
+def test_initial_guess_outside_bounds_raises():
+    """Reference: levenberg_marquardt.jl:49-51."""
+    with pytest.raises(ValueError):
+        lso.optimize(rosenbrock, jnp.zeros(2), lso.Dogleg(), lower=[0.5, 0.5])
+
+
+def test_qr_rejected_for_matrix_free():
+    """Reference: src/types.jl:114-118 rejects QR for sparse Jacobians."""
+    p = lso.least_squares_problem(
+        f=rosenbrock, x=jnp.zeros(2), materialize_jacobian=False
+    )
+    with pytest.raises(ValueError):
+        lso.optimize_problem(p, lso.Dogleg(lso.QR()))
+
+
+def test_solve_is_jittable():
+    import jax
+
+    p = lso.least_squares_problem(f=rosenbrock, x=jnp.zeros(2))
+    run = jax.jit(lambda x0: lso.solve(p, lso.LevenbergMarquardt(), x0=x0))
+    raw = run(jnp.zeros(2))
+    assert bool(raw["converged"])
+    assert np.allclose(raw["minimizer"], [1.0, 1.0], atol=1e-6)

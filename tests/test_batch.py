@@ -1,0 +1,87 @@
+"""Batched-solve gates: vmap-batch results must equal sequential results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+
+
+def _curve_model(x, beta):
+    return beta[0] * (1.0 - jnp.exp(-beta[1] * x))
+
+
+def test_batch_equals_sequential():
+    """SURVEY.md §7 step 5 gate: per-problem convergence under vmap matches
+    solving each problem alone (iterations included — carries freeze once a
+    problem's own loop condition goes false)."""
+    rng = np.random.default_rng(0)
+    B, m = 16, 20
+    xdata = jnp.array(np.linspace(1.0, 60.0, m))
+    betas_true = jnp.array(
+        np.stack([rng.uniform(100, 400, B), rng.uniform(2e-4, 2e-3, B)], 1)
+    )
+    ydata = jax.vmap(lambda b: _curve_model(xdata, b))(betas_true)
+    x0s = betas_true * jnp.array(
+        rng.uniform(0.5, 1.8, size=(B, 2))
+    )
+
+    def f(beta, data):
+        xd, yd = data
+        return yd - _curve_model(xd, beta)
+
+    data = (jnp.broadcast_to(xdata, (B, m)), ydata)
+    raw = lso.solve_batch(
+        f, x0s, data, lso.LevenbergMarquardt(lso.Cholesky()), output_length=m
+    )
+    assert np.all(np.asarray(raw["converged"]))
+
+    # sequential reference
+    for i in range(B):
+        p = lso.least_squares_problem(
+            f=lambda b, i=i: f(b, (data[0][i], data[1][i])), x=x0s[i]
+        )
+        ref = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()))
+        assert np.allclose(
+            raw["minimizer"][i], ref["minimizer"], atol=1e-9
+        ), f"problem {i}"
+        assert int(raw["iterations"][i]) == int(ref["iterations"]), f"problem {i}"
+
+    # most starts should recover the (noise-free) global optimum; some far
+    # starts may legitimately stop at local plateaus — equivalence above is
+    # the real gate.
+    ssr = np.asarray(raw["ssr"])
+    assert np.mean(ssr <= 1e-8) >= 0.8
+
+
+def test_batch_without_data():
+    def rosenbrock(x):
+        return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])
+
+    x0s = jnp.array([[0.0, 0.0], [-1.2, 1.0], [2.0, 2.0], [0.5, -0.5]])
+    raw = lso.solve_batch(rosenbrock, x0s, optimizer=lso.Dogleg())
+    assert np.all(np.asarray(raw["converged"]))
+    assert np.allclose(raw["minimizer"], 1.0, atol=1e-6)
+
+
+def test_batch_lsmr_matrix_free():
+    def rosenbrock(x):
+        return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])
+
+    x0s = jnp.zeros((8, 2))
+    raw = lso.solve_batch(
+        rosenbrock, x0s,
+        optimizer=lso.LevenbergMarquardt(lso.LSMR()),
+        materialize_jacobian=False,
+    )
+    assert np.all(np.asarray(raw["converged"]))
+    assert np.allclose(raw["minimizer"], 1.0, atol=1e-6)
+
+
+def test_batch_rejects_tracing():
+    with pytest.raises(ValueError):
+        lso.solve_batch(
+            lambda x: x, jnp.zeros((2, 2)),
+            options=lso.Options(store_trace=True),
+        )

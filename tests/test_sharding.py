@@ -1,0 +1,141 @@
+"""SPMD tests on an 8-virtual-device CPU mesh.
+
+Gate from SURVEY.md §7 step 6: sharded results must agree with single-chip
+results (bitwise-comparable in f64 up to reduction-order effects).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.ops import gram_and_rhs, lsmr
+from leastsquaresoptim_jl_tpu.parallel import (
+    make_mesh,
+    make_sharded_operator,
+    shard_rows,
+    sharded_gram_and_rhs,
+    solve_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mesh():
+    return make_mesh((8,), ("rows",))
+
+
+def test_sharded_gram_matches_single_device():
+    rng = np.random.default_rng(0)
+    J = jnp.array(rng.normal(size=(64, 5)))
+    y = jnp.array(rng.normal(size=(64,)))
+    g_ref, r_ref = gram_and_rhs(J, y)
+    mesh = _mesh()
+    Js, ys = shard_rows((J, y), mesh)
+    g, r = sharded_gram_and_rhs(Js, ys, mesh)
+    assert np.allclose(g, g_ref, atol=1e-12)
+    assert np.allclose(r, r_ref, atol=1e-12)
+
+
+def test_sharded_lsmr_operator_matches():
+    rng = np.random.default_rng(1)
+    J = jnp.array(rng.normal(size=(48, 6)))
+    y = jnp.array(rng.normal(size=(48,)))
+    mesh = _mesh()
+    Js = shard_rows(J, mesh)
+    op = make_sharded_operator(Js, mesh)
+    v = jnp.array(rng.normal(size=(6,)))
+    assert np.allclose(op.matvec(v), J @ v, atol=1e-12)
+    assert np.allclose(op.rmatvec(y), J.T @ y, atol=1e-12)
+    assert np.allclose(op.colnorms2(), jnp.sum(J * J, axis=0), atol=1e-12)
+
+    ys = shard_rows(y, mesh)
+    x, stats = lsmr(
+        op.matvec, op.rmatvec, ys, jnp.zeros(6),
+        maxiter=60, atol=1e-12, btol=1e-12,
+    )
+    x_ref = jnp.linalg.lstsq(J, y)[0]
+    assert np.allclose(x, x_ref, atol=1e-8)
+
+
+def test_solve_sharded_curve_fit_matches_single_chip():
+    """Distributed misra1a-style exponential fit over row-sharded data."""
+    rng = np.random.default_rng(2)
+    m = 64
+    xdata = jnp.array(np.linspace(1.0, 80.0, m))
+    true = jnp.array([240.0, 5.0e-4])
+    ydata = true[0] * (1 - jnp.exp(-true[1] * xdata))
+    ydata = ydata + jnp.array(rng.normal(size=(m,))) * 0.05
+
+    def per_row(beta, row):
+        xr, yr = row
+        return yr - beta[0] * (1 - jnp.exp(-beta[1] * xr))
+
+    x0 = jnp.array([200.0, 1e-3])
+
+    # single-chip reference
+    def residual(beta):
+        return ydata - beta[0] * (1 - jnp.exp(-beta[1] * xdata))
+
+    p = lso.least_squares_problem(f=residual, x=x0, materialize_jacobian=False)
+    ref = lso.solve(p, lso.LevenbergMarquardt(lso.LSMR()))
+
+    mesh = _mesh()
+    data = shard_rows((xdata, ydata), mesh)
+    raw = solve_sharded(
+        per_row, data, x0, mesh, lso.LevenbergMarquardt(lso.LSMR())
+    )
+    assert bool(raw["converged"])
+    assert np.allclose(raw["minimizer"], ref["minimizer"], atol=1e-6)
+    assert int(raw["iterations"]) == int(ref["iterations"])
+
+
+def test_solve_sharded_batch_axis():
+    """2D mesh: independent fits over 'batch', rows over 'rows'."""
+    mesh = make_mesh((2, 4), ("batch", "rows"))
+    m, B = 32, 4
+    xdata = jnp.array(np.linspace(0.5, 6.0, m))
+
+    def per_row(beta, row):
+        xr, yr = row
+        return yr - jnp.exp(-beta[0] * xr) / (beta[1] + beta[2] * xr)
+
+    betas_true = jnp.array([[0.17, 0.005, 0.012]] * B) * (
+        1.0 + 0.1 * jnp.arange(B)[:, None]
+    )
+    ydata = jax.vmap(
+        lambda b: jnp.exp(-b[0] * xdata) / (b[1] + b[2] * xdata)
+    )(betas_true)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xb = jnp.broadcast_to(xdata, (B, m))
+    data = (
+        jax.device_put(xb, NamedSharding(mesh, P("batch", "rows"))),
+        jax.device_put(ydata, NamedSharding(mesh, P("batch", "rows"))),
+    )
+    x0 = jnp.array([0.1, 0.01, 0.02])
+
+    @jax.jit
+    def run(data):
+        def single(rows):
+            p = lso.LeastSquaresProblem(
+                residual_fn=lambda b: jax.vmap(
+                    lambda xr, yr: per_row(b, (xr, yr))
+                )(*rows),
+                x0=x0,
+                m=m,
+                jac_fn=None,
+                materialize_jacobian=False,
+            )
+            return lso.solve(p, lso.LevenbergMarquardt(lso.LSMR()), x0=x0)
+
+        return jax.vmap(single)(data)
+
+    with mesh:
+        raw = run(data)
+    assert np.all(np.asarray(raw["converged"]))
+    assert np.allclose(raw["minimizer"], betas_true, atol=1e-4)
