@@ -95,12 +95,15 @@ def main():
 
     # warmup/compile
     out = run(x0j, data)
-    jax.block_until_ready(out)
-    reps = 3
+    np.asarray(out)
+    reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(x0j, data)
-        jax.block_until_ready(out)
+    for i in range(reps):
+        # vary inputs and force a host fetch: on the axon runtime,
+        # block_until_ready can return before execution completes and
+        # identical dispatches may be cached, so device-only timing lies.
+        out = run(x0j * (1.0 + 1e-5 * i), data)
+        np.asarray(out)
     tpu_time = (time.perf_counter() - t0) / reps
     fits_per_s = B / tpu_time
 

@@ -20,7 +20,20 @@ import jax
 import jax.numpy as jnp
 
 
+# Below this parameter count the Gram product uses a broadcast-multiply +
+# reduce instead of a matmul: under vmap, a batched (B, m, n) x (B, m, n) ->
+# (B, n, n) contraction with tiny n starves the MXU, while the broadcast form
+# fuses into a single VPU reduction over m (XLA fuses the multiply into the
+# reduce, so the (m, n, n) intermediate never materializes).
+_BROADCAST_GRAM_MAX_N = 16
+
+
 def _gram_xla(J, y):
+    n = J.shape[-1]
+    if n <= _BROADCAST_GRAM_MAX_N:
+        gram = jnp.sum(J[..., :, :, None] * J[..., :, None, :], axis=-3)
+        rhs = jnp.sum(J * y[..., :, None], axis=-2)
+        return gram, rhs
     gram = J.T @ J
     rhs = J.T @ y
     return gram, rhs

@@ -50,6 +50,45 @@ def clip_step_to_bounds(dx, x, lower, upper):
     return dx
 
 
+# Below this parameter count, the SPD solve unrolls into scalar-vector VPU
+# ops instead of calling batched LAPACK-style kernels: under vmap, XLA's
+# batched Cholesky/triangular-solve on (B, n, n) with tiny n is ~20x slower
+# than the unrolled form (measured on TPU v5e, B=100k, n=2: 26 ms -> 1.2 ms
+# per LM iteration).
+UNROLLED_SOLVE_MAX_N = 8
+
+
+def unrolled_chol_solve(gram, rhs):
+    """Cholesky solve of an SPD system, fully unrolled over the (static,
+    small) parameter dimension. Batched-safe: every intermediate is a
+    (...,)-shaped scalar slice, so under vmap this is pure VPU work with no
+    batched-linalg kernels."""
+    n = gram.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = gram[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    z = [None] * n
+    for i in range(n):
+        s = rhs[..., i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = z[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def maxabs_projected_gradient(g, x, lower, upper):
     """Infinity norm of the gradient projected onto the active box bounds.
 

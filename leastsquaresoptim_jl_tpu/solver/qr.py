@@ -26,6 +26,15 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..ops.gram import gram_and_rhs
+from ..ops.linalg import UNROLLED_SOLVE_MAX_N, unrolled_chol_solve
+
+
+def _spd_solve(gram, rhs):
+    if gram.shape[-1] <= UNROLLED_SOLVE_MAX_N:
+        return unrolled_chol_solve(gram, rhs)
+    L = jax.scipy.linalg.cholesky(gram, lower=True)
+    z = solve_triangular(L, rhs, lower=True)
+    return solve_triangular(L.T, z, lower=False)
 
 
 def _jittered_normal_solve(J, y):
@@ -36,9 +45,7 @@ def _jittered_normal_solve(J, y):
     eps = jnp.finfo(gram.dtype).eps
     jitter = jnp.maximum(diag_mean, 1.0) * eps * 100.0
     gram = gram + jitter * jnp.eye(n, dtype=gram.dtype)
-    L = jax.scipy.linalg.cholesky(gram, lower=True)
-    z = solve_triangular(L, rhs, lower=True)
-    return solve_triangular(L.T, z, lower=False)
+    return _spd_solve(gram, rhs)
 
 
 def solve_gn(J, y):
@@ -54,11 +61,7 @@ def solve_gn(J, y):
         row_gram = J @ J.T
         eps = jnp.finfo(J.dtype).eps
         jitter = jnp.maximum(jnp.trace(row_gram) / m, 1.0) * eps * 100.0
-        L = jax.scipy.linalg.cholesky(
-            row_gram + jitter * jnp.eye(m, dtype=J.dtype), lower=True
-        )
-        z = solve_triangular(L, y, lower=True)
-        w = solve_triangular(L.T, z, lower=False)
+        w = _spd_solve(row_gram + jitter * jnp.eye(m, dtype=J.dtype), y)
         return J.T @ w, jnp.int32(1)
     q, r = jnp.linalg.qr(J, mode="reduced")
     qty = q.T @ y
