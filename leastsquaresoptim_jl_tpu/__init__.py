@@ -19,6 +19,7 @@ from .api import optimize, optimize_problem, solve
 from .batch import solve_batch
 from .optimizer.base import Dogleg, LevenbergMarquardt
 from .optimizer.common import Options
+from .ops.sparse import sparse_jacobian
 from .problem import LeastSquaresProblem, least_squares_problem
 from .result import (
     IsFiniteError,
@@ -28,6 +29,8 @@ from .result import (
     converged,
 )
 from .solver.base import LSMR, QR, Cholesky
+from . import models
+from .models.curves import curve_fit, curve_fit_batch
 
 __version__ = "0.1.0"
 
@@ -49,4 +52,8 @@ __all__ = [
     "Cholesky",
     "LSMR",
     "Options",
+    "sparse_jacobian",
+    "models",
+    "curve_fit",
+    "curve_fit_batch",
 ]

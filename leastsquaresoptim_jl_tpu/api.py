@@ -99,8 +99,16 @@ def optimize_problem(
     store_trace: bool = False,
     show_trace: bool = False,
     show_every: int = 1,
+    x0=None,
 ) -> LeastSquaresResult:
-    """Solve ``problem``; counterpart of ``optimize!`` (reference: src/types.jl:207-209)."""
+    """Solve ``problem``; counterpart of ``optimize!`` (reference: src/types.jl:207-209).
+
+    ``x0`` overrides the problem's start without rebuilding it — the
+    functional analogue of the reference's resume-from-last-iterate
+    semantics (``optimize!`` mutates ``nls.x`` in place, src/types.jl:189):
+    pass a previous result's minimizer (or ``utils.checkpoint.resume_x0``)
+    to continue a solve.
+    """
     opts = Options(
         x_tol=x_tol,
         f_tol=f_tol,
@@ -111,15 +119,24 @@ def optimize_problem(
         show_trace=show_trace,
         show_every=show_every,
     )
-    lower, upper = validate_bounds(problem.x0, lower, upper)
-    _check_initial_bounds(problem.x0, lower, upper)
+    if x0 is None:
+        start = problem.x0
+    elif problem.unravel is not None:
+        from jax.flatten_util import ravel_pytree
+
+        start, _ = ravel_pytree(jax.tree_util.tree_map(jnp.asarray, x0))
+        start = jnp.asarray(start, problem.x0.dtype)
+    else:
+        start = jnp.asarray(x0, problem.x0.dtype)
+    lower, upper = validate_bounds(start, lower, upper)
+    _check_initial_bounds(start, lower, upper)
     optimizer = resolve(optimizer, problem)
     fn = _compiled_solve(
         problem, optimizer, opts, lower is not None, upper is not None
     )
-    zeros = jnp.zeros_like(problem.x0)
+    zeros = jnp.zeros_like(start)
     raw = fn(
-        problem.x0,
+        start,
         lower if lower is not None else zeros,
         upper if upper is not None else zeros,
     )
@@ -127,7 +144,18 @@ def optimize_problem(
     raw["optimizer"] = "LevenbergMarquardt" if isinstance(
         optimizer, LevenbergMarquardt
     ) else "Dogleg"
-    return result_from_raw(raw, opts)
+    result = result_from_raw(raw, opts)
+    if problem.unravel is not None:
+        # Report the minimizer in the user's parameter structure.
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        structured = jax.tree_util.tree_map(
+            _np.asarray, problem.unravel(jnp.asarray(result.minimizer))
+        )
+        result = _dc.replace(result, minimizer=structured)
+    return result
 
 
 def optimize(
@@ -141,10 +169,14 @@ def optimize(
     materialize_jacobian: bool = True,
     **kwargs,
 ) -> LeastSquaresResult:
-    """Minimize sum(f(x)^2) from x0 (reference: optimize, src/types.jl:182-184)."""
+    """Minimize sum(f(x)^2) from x0 (reference: optimize, src/types.jl:182-184).
+
+    ``x0`` may be a flat vector or any pytree of arrays (structured
+    parameters; see least_squares_problem).
+    """
     problem = least_squares_problem(
         f=f,
-        x=jnp.asarray(x0),
+        x=x0,
         g=g,
         output_length=output_length,
         autodiff=autodiff,

@@ -1,0 +1,25 @@
+"""Built-in model families and canonical test problems.
+
+  * curves     — curve_fit / curve_fit_batch regression front end + CURVES zoo
+  * nist       — the 16 NIST StRD certified datasets + their models
+  * minpack    — the 14 More-Garbow-Hillstrom (MINPACK hybrj) test problems
+
+The reference ships these only inside its test suite
+(test/nonlinearsolvers.jl, test/nonlinearfitting.jl); here they are part of
+the framework so users and benchmarks can import them directly.
+"""
+
+from .curves import CURVES, curve_fit, curve_fit_batch
+from .minpack import cholesky_suite, full_suite
+from .nist import DATASETS as NIST_DATASETS
+from .nist import MODELS as NIST_MODELS
+
+__all__ = [
+    "curve_fit",
+    "curve_fit_batch",
+    "CURVES",
+    "full_suite",
+    "cholesky_suite",
+    "NIST_DATASETS",
+    "NIST_MODELS",
+]

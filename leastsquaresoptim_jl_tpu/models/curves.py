@@ -1,0 +1,136 @@
+"""Curve-fitting front end: fit ``model(x, beta)`` to data.
+
+The reference is a raw NLLS solver — users hand-write the residual
+``ydata - model(xdata, beta)`` themselves (its NIST test does exactly that,
+reference: test/nonlinearfitting.jl:1448-1472). This module packages that
+pattern as the framework's regression model family:
+
+  * :func:`curve_fit` — one fit, Optim-style result, optional weights and
+    box bounds.
+  * :func:`curve_fit_batch` — thousands of independent fits vmapped into a
+    single MXU-saturating kernel (each fit gets its own data slice and
+    start); this is the flagship TPU workload (bench.py).
+
+Built-in model zoo: :data:`CURVES` (shared shapes) plus the 16 certified
+NIST models in models/nist.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ..api import optimize
+from ..batch import solve_batch
+from ..optimizer.common import Options
+
+# Common curve shapes, each a pure model(x, beta) -> y.
+CURVES = {
+    # saturating exponential: b0 * (1 - exp(-b1 x))   [misra1a / BoxBOD shape]
+    "exp_saturation": lambda x, b: b[0] * (1.0 - jnp.exp(-b[1] * x)),
+    # exponential decay with offset: b0 * exp(-b1 x) + b2
+    "exp_decay": lambda x, b: b[0] * jnp.exp(-b[1] * x) + b[2],
+    # power law: b0 * x^b1   [DanWood shape]
+    "power": lambda x, b: b[0] * x ** b[1],
+    # logistic: b0 / (1 + exp(b1 - b2 x))   [Rat42 shape]
+    "logistic": lambda x, b: b[0] / (1.0 + jnp.exp(b[1] - b[2] * x)),
+    # Gaussian peak: b0 * exp(-(x - b1)^2 / (2 b2^2))
+    "gaussian": lambda x, b: b[0] * jnp.exp(-((x - b[1]) ** 2) / (2.0 * b[2] ** 2)),
+    # Michaelis-Menten: b0 x / (b1 + x)
+    "michaelis_menten": lambda x, b: b[0] * x / (b[1] + x),
+}
+
+
+def _as_model(model) -> Callable:
+    if callable(model):
+        return model
+    try:
+        return CURVES[model]
+    except KeyError:
+        from .nist import MODELS
+
+        if model in MODELS:
+            return MODELS[model]
+        raise ValueError(
+            f"unknown model {model!r}; pass a callable or one of "
+            f"{sorted(CURVES) + sorted(MODELS)}"
+        ) from None
+
+
+def curve_fit(
+    model,
+    xdata,
+    ydata,
+    p0,
+    *,
+    weights=None,
+    optimizer=None,
+    lower=None,
+    upper=None,
+    **kwargs,
+):
+    """Fit ``model(x, beta)`` to (xdata, ydata) by weighted least squares.
+
+    ``model`` is a pure callable or a name from :data:`CURVES` /
+    models/nist.py MODELS. ``weights`` (optional, same shape as ydata)
+    scales residuals: minimizes sum(w^2 (y - model)^2). Remaining kwargs
+    (x_tol, f_tol, g_tol, iterations, store_trace, ...) go to
+    ``optimize_problem``. Returns a LeastSquaresResult.
+    """
+    model = _as_model(model)
+    xdata = jnp.asarray(xdata)
+    ydata = jnp.asarray(ydata)
+    w = None if weights is None else jnp.asarray(weights)
+
+    def residual(beta):
+        r = ydata - model(xdata, beta)
+        return r if w is None else w * r
+
+    return optimize(
+        residual, jnp.asarray(p0), optimizer,
+        lower=lower, upper=upper, **kwargs,
+    )
+
+
+def curve_fit_batch(
+    model,
+    xdata,
+    ydata,
+    p0,
+    *,
+    weights=None,
+    optimizer=None,
+    options: Optional[Options] = None,
+    lower=None,
+    upper=None,
+):
+    """Fit a batch of independent curves in one vmapped kernel.
+
+    ``xdata``/``ydata`` have shape (B, m) (or (m,) xdata broadcast across
+    the batch), ``p0`` is (B, n). Returns the raw result pytree with a
+    leading batch axis (jit/pjit-friendly); wrap individual rows with the
+    host API if Optim-style reports are wanted.
+    """
+    model = _as_model(model)
+    p0 = jnp.asarray(p0)
+    xdata = jnp.asarray(xdata)
+    ydata = jnp.asarray(ydata)
+    if xdata.ndim == 1:
+        xdata = jnp.broadcast_to(xdata, (p0.shape[0],) + xdata.shape)
+    m = ydata.shape[-1]
+    data = (xdata, ydata) if weights is None else (
+        xdata, ydata, jnp.asarray(weights)
+    )
+
+    def f(beta, d):
+        if weights is None:
+            xd, yd = d
+            return yd - model(xd, beta)
+        xd, yd, wd = d
+        return wd * (yd - model(xd, beta))
+
+    return solve_batch(
+        f, p0, data, optimizer,
+        options=options, output_length=m, lower=lower, upper=upper,
+    )

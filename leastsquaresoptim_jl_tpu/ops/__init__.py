@@ -11,8 +11,11 @@ from .linalg import (
 )
 from .lsmr_core import LSMRStats, lsmr
 from .operators import JacobianOperator, from_linearization, from_matrix
+from .sparse import colsumabs2_bcoo, sparse_jacobian
 
 __all__ = [
+    "sparse_jacobian",
+    "colsumabs2_bcoo",
     "gram_and_rhs",
     "colsumabs2",
     "wdot",

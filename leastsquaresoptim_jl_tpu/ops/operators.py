@@ -42,8 +42,21 @@ class JacobianOperator:
     J: Optional[jnp.ndarray] = None  # set when materialized
 
 
-def from_matrix(J: jnp.ndarray) -> JacobianOperator:
+def from_matrix(J) -> JacobianOperator:
+    """Operator view of a materialized Jacobian — dense (m, n) array or
+    sparse BCOO (reference's sparse-CSC axis; see ops/sparse.py)."""
+    from .sparse import colsumabs2_bcoo, is_sparse
+
     m, n = J.shape
+    if is_sparse(J):
+        return JacobianOperator(
+            matvec=lambda v: J @ v,
+            rmatvec=lambda u: J.T @ u,
+            colnorms2=lambda: colsumabs2_bcoo(J),
+            m=int(m),
+            n=int(n),
+            J=J,
+        )
     return JacobianOperator(
         matvec=lambda v: J @ v,
         rmatvec=lambda u: J.T @ u,
@@ -55,6 +68,10 @@ def from_matrix(J: jnp.ndarray) -> JacobianOperator:
 
 
 _HUTCHINSON_PROBES = 8
+# Up to this parameter count, matrix-free colnorms are computed exactly with
+# n vmapped JVPs (one batched evaluation) instead of estimated: identical to
+# the reference's colsumabs2! semantics and cheap in the small-n regime.
+_EXACT_COLNORMS_MAX_N = 32
 
 
 def from_linearization(
@@ -81,6 +98,13 @@ def from_linearization(
 
     if colnorms_fn is not None:
         colnorms2 = lambda: colnorms_fn(x_lin)
+    elif n <= _EXACT_COLNORMS_MAX_N:
+        def colnorms2():
+            # Exact diag(J'J): colnorms2[j] = ||J e_j||^2, n JVPs vmapped
+            # into one batched evaluation.
+            eye = jnp.eye(n, dtype=x_lin.dtype)
+            cols = jax.vmap(jvp_fn)(eye)  # (n, m)
+            return jnp.sum(cols * cols, axis=1)
     else:
         def colnorms2():
             # Hutchinson diagonal estimate of J'J with fixed Rademacher probes.

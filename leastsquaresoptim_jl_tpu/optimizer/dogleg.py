@@ -68,13 +68,21 @@ def optimize_loop(
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
 
+    if not materialize:
+        jstate0 = x
+    elif problem.jacobian_is_sparse:
+        # Sparse carry: static BCOO pattern, only data flows (see LM loop).
+        jstate0 = jac_fn(x)
+    else:
+        jstate0 = jnp.zeros((m, n), dt)
+
     carry = dict(
         x=x,
         fcur=fcur,
         ssr=ssr,
         delta=jnp.asarray(radius0, dt),
         reuse=false,
-        jstate=(jnp.zeros((m, n), dt) if materialize else x),
+        jstate=jstate0,
         dtd=jnp.ones((n,), dt),
         dgr=zero_x,
         dgn=zero_x,

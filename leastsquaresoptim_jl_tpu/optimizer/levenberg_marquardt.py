@@ -61,6 +61,15 @@ def optimize_loop(
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
 
+    if not materialize:
+        jstate0 = x
+    elif problem.jacobian_is_sparse:
+        # Sparse carry: the BCOO pattern is static, only data flows. Seed the
+        # carry with a real evaluation (a zeros placeholder has no pattern).
+        jstate0 = jac_fn(x)
+    else:
+        jstate0 = jnp.zeros((m, n), dt)
+
     carry = dict(
         x=x,
         fcur=fcur,
@@ -68,7 +77,7 @@ def optimize_loop(
         delta=jnp.asarray(radius0, dt),
         decrease_factor=jnp.asarray(2.0, dt),
         need_jacobian=jnp.ones((), bool),
-        jstate=(jnp.zeros((m, n), dt) if materialize else x),
+        jstate=jstate0,
         maxabs_gr=jnp.asarray(jnp.inf, dt),
         it=jnp.int32(0),
         x_converged=false,

@@ -6,7 +6,7 @@ mesh.py and sharded.py. Multi-host initialization is plain
 ``jax.distributed.initialize()`` — no custom transport layer.
 """
 
-from .mesh import make_mesh, replicated, shard_rows
+from .mesh import initialize_multihost, make_mesh, replicated, shard_rows
 from .sharded import (
     make_sharded_operator,
     sharded_gram_and_rhs,
@@ -15,6 +15,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "initialize_multihost",
     "make_mesh",
     "shard_rows",
     "replicated",

@@ -59,3 +59,28 @@ def shard_rows(data, mesh: Mesh, axis: str = "rows"):
 def replicated(x, mesh: Mesh):
     """Fully-replicate an array over the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize the multi-host runtime and return the global device count.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects cluster
+    environment under TPU pod slices / GKE when called with no args). Call
+    once per host before building meshes; afterwards ``make_mesh`` sees all
+    global devices and shardings lay collectives over ICI within a slice and
+    DCN across hosts. Safe to call when already initialized or single-host
+    (returns the current device count).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized (or single-process context)
+    return len(jax.devices())

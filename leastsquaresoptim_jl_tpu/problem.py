@@ -100,6 +100,13 @@ class LeastSquaresProblem:
     m: int
     jac_fn: Callable
     materialize_jacobian: bool = True
+    # True when jac_fn returns a BCOO sparse matrix (the reference's sparse
+    # CSC axis, src/types.jl:114-121): selects LSMR by default and rejects
+    # the dense-only QR/Cholesky solvers.
+    jacobian_is_sparse: bool = False
+    # Set when the user's parameters are a pytree: maps the flat solver
+    # vector back to the original structure (jax.flatten_util.ravel_pytree).
+    unravel: Optional[Callable] = None
 
     @property
     def n(self) -> int:
@@ -131,7 +138,21 @@ def least_squares_problem(
         raise ValueError("residual function f is required")
     if x is None:
         raise ValueError("initial x is required")
-    x = jnp.asarray(x)
+
+    # Structured parameters: a pytree of arrays (dict/dataclass/nested — or
+    # a plain array of rank > 1) is raveled to the flat vector the solvers
+    # work in, and f sees the original structure. The reference is
+    # vector-only; pytree params are the JAX-idiomatic extension.
+    unravel = None
+    try:
+        x_arr = jnp.asarray(x)
+    except TypeError:
+        x_arr = None
+    if x_arr is None or x_arr.ndim > 1:
+        from jax.flatten_util import ravel_pytree
+
+        x_arr, unravel = ravel_pytree(jax.tree_util.tree_map(jnp.asarray, x))
+    x = x_arr
     if x.ndim != 1:
         raise ValueError(f"x must be a vector, got shape {x.shape}")
 
@@ -140,7 +161,7 @@ def least_squares_problem(
     base_f = f
 
     def residual_fn(xx):
-        r = base_f(xx)
+        r = base_f(xx if unravel is None else unravel(xx))
         r = jnp.asarray(r)
         if r.ndim == 0:
             r = r[None]
@@ -152,7 +173,8 @@ def least_squares_problem(
     m = int(output_length)
 
     if g is not None:
-        jac_fn = g
+        # A user Jacobian sees the same structured parameters as f.
+        jac_fn = g if unravel is None else (lambda xf: g(unravel(xf)))
     else:
         jac_fn = synthesize_jacobian(residual_fn, autodiff)
 
@@ -163,6 +185,9 @@ def least_squares_problem(
             f"residual function returns shape {r_shape.shape}, expected ({m},)"
         )
     j_shape = jax.eval_shape(jac_fn, x)
+    from jax.experimental import sparse as jsparse
+
+    jacobian_is_sparse = isinstance(j_shape, jsparse.JAXSparse)
     if tuple(j_shape.shape) != (m, x.shape[0]):
         raise ValueError(
             f"jacobian function returns shape {j_shape.shape}, "
@@ -175,4 +200,6 @@ def least_squares_problem(
         m=m,
         jac_fn=jac_fn,
         materialize_jacobian=materialize_jacobian,
+        jacobian_is_sparse=jacobian_is_sparse,
+        unravel=unravel,
     )

@@ -127,6 +127,16 @@ def converged(r: LeastSquaresResult) -> bool:
     return r.x_converged or r.f_converged or r.g_converged
 
 
+def _host_jacobian(j):
+    """Final Jacobian for the host result: dense arrays come back as numpy;
+    sparse BCOO Jacobians are returned as-is (pattern + data)."""
+    if j is None:
+        return None
+    if hasattr(j, "todense"):  # BCOO
+        return j
+    return np.asarray(j)
+
+
 def result_from_raw(raw, opts, residual_at_min=None) -> LeastSquaresResult:
     """Materialize a host-side result from the raw on-device pytree."""
     minimizer = np.asarray(raw["minimizer"])
@@ -149,7 +159,5 @@ def result_from_raw(raw, opts, residual_at_min=None) -> LeastSquaresResult:
         f_calls=int(np.asarray(raw["f_calls"])),
         g_calls=int(np.asarray(raw["g_calls"])),
         mul_calls=int(np.asarray(raw["mul_calls"])),
-        jacobian=(
-            np.asarray(raw["jacobian"]) if raw["jacobian"] is not None else None
-        ),
+        jacobian=_host_jacobian(raw["jacobian"]),
     )

@@ -63,7 +63,11 @@ class LSMR(AbstractSolver):
 
 
 def default_solver(solver: Optional[AbstractSolver], problem) -> AbstractSolver:
-    """Reference: src/types.jl:113-121."""
+    """Reference: src/types.jl:113-121 — dense Jacobian -> QR, anything else
+    (sparse, matrix-free) -> LSMR; QR with a sparse Jacobian is rejected
+    (reference: src/types.jl:114-118), and so is Cholesky (the reference has
+    no sparse-Cholesky method either, see SURVEY.md C9)."""
+    sparse = getattr(problem, "jacobian_is_sparse", False)
     if solver is not None:
         if isinstance(solver, QR) and not problem.materialize_jacobian:
             raise ValueError(
@@ -75,7 +79,12 @@ def default_solver(solver: Optional[AbstractSolver], problem) -> AbstractSolver:
                 "solver Cholesky() is not available for matrix-free problems. "
                 "Choose LSMR()"
             )
+        if isinstance(solver, (QR, Cholesky)) and sparse:
+            raise ValueError(
+                f"solver {type(solver).__name__}() is not available for "
+                "sparse Jacobians. Choose LSMR()"
+            )
         return solver
-    if problem.materialize_jacobian:
+    if problem.materialize_jacobian and not sparse:
         return QR()
     return LSMR()

@@ -22,13 +22,27 @@ import numpy as np
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Persist a pytree of arrays (raw result, iterate, options echo)."""
+    """Persist a pytree of arrays (raw result, iterate, options echo).
+
+    Dict keys at the top level are additionally saved under ``key_<name>``
+    so individual fields (e.g. the minimizer) can be pulled back without
+    the full tree structure (:func:`resume_x0`).
+    """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    named = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if v is not None and not jax.tree_util.tree_leaves(v) == []:
+                try:
+                    named[f"key_{k}"] = np.asarray(v)
+                except (TypeError, ValueError):
+                    pass  # non-array field (e.g. a BCOO); full tree covers it
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(
         path,
         __treedef__=json.dumps(str(treedef)),
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **named,
     )
 
 
@@ -52,12 +66,16 @@ def load_pytree(path: str, like: Any) -> Any:
 
 
 def resume_x0(path: str) -> np.ndarray:
-    """Convenience: pull just the minimizer out of a saved raw result."""
+    """Pull just the minimizer out of a saved raw result, to restart a solve
+    from the last iterate (the analogue of the reference's in-place ``nls.x``
+    resume semantics, src/types.jl:189)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
-    # minimizer is identifiable as leaf matching the saved key order; callers
-    # should prefer load_pytree with the full structure. Kept for CLI use.
-    raise NotImplementedError(
-        "use load_pytree(path, like=raw_result) and read ['minimizer']"
-    )
+    if "key_minimizer" not in data.files:
+        raise KeyError(
+            f"{path} has no saved 'minimizer' field; save the raw result "
+            "dict with save_pytree, or use load_pytree with the full "
+            "structure."
+        )
+    return data["key_minimizer"]

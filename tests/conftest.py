@@ -21,3 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# NOTE: do NOT enable jax_compilation_cache_dir here. The persistent
+# compilation cache's read path (compilation_cache.get_executable_and_time,
+# zstandard decompress) segfaults in this jaxlib build — reproduced twice,
+# single-process, fresh cache. The suite pays full compile cost every run.

@@ -126,3 +126,55 @@ def test_solve_is_jittable():
     raw = run(jnp.zeros(2))
     assert bool(raw["converged"])
     assert np.allclose(raw["minimizer"], [1.0, 1.0], atol=1e-6)
+
+
+def test_resume_from_x0_and_checkpoint(tmp_path):
+    """optimize_problem(x0=...) resumes a solve from a previous iterate
+    (the reference's optimize! in-place nls.x semantics, src/types.jl:189),
+    and the checkpoint helpers round-trip the raw result."""
+    import numpy as np
+
+    from leastsquaresoptim_jl_tpu.utils import checkpoint
+
+    def f(x):
+        return jnp.array([1 - x[0], 2.0 * (x[1] - x[0] ** 2)])
+
+    p = lso.least_squares_problem(f=f, x=jnp.zeros(2))
+    r1 = lso.optimize_problem(p, lso.Dogleg(), iterations=3)
+    assert not r1.converged
+    # checkpoint the iterate, resume, and finish
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_pytree(path, {"minimizer": r1.minimizer})
+    x_resume = checkpoint.resume_x0(path)
+    assert np.allclose(x_resume, r1.minimizer)
+    r2 = lso.optimize_problem(p, lso.Dogleg(), x0=x_resume)
+    assert r2.converged
+    assert np.allclose(r2.minimizer, [1.0, 1.0], atol=1e-6)
+    # resumed solve must beat restarting for the same extra budget
+    assert r2.ssr <= 1e-10
+
+
+def test_pytree_parameters():
+    """Structured (pytree) parameters: f sees the original structure, the
+    result minimizer comes back in it. JAX-idiomatic extension; the
+    reference is vector-only."""
+    import numpy as np
+
+    data_x = jnp.linspace(1.0, 60.0, 32)
+    true = {"scale": jnp.array(240.0), "rate": jnp.array(5e-4)}
+    data_y = true["scale"] * (1 - jnp.exp(-true["rate"] * data_x))
+
+    def f(p):
+        return data_y - p["scale"] * (1 - jnp.exp(-p["rate"] * data_x))
+
+    x0 = {"scale": jnp.array(200.0), "rate": jnp.array(1e-3)}
+    r = lso.optimize(f, x0, lso.LevenbergMarquardt(lso.Cholesky()))
+    assert r.converged
+    assert isinstance(r.minimizer, dict)
+    assert np.allclose(r.minimizer["scale"], 240.0, rtol=1e-6)
+    assert np.allclose(r.minimizer["rate"], 5e-4, rtol=1e-6)
+    # structured x0 override on an existing problem (resume semantics)
+    p = lso.least_squares_problem(f=f, x=x0)
+    r2 = lso.optimize_problem(p, lso.Dogleg(), x0=r.minimizer)
+    assert r2.converged
+    assert np.allclose(r2.minimizer["scale"], 240.0, rtol=1e-6)

@@ -12,7 +12,12 @@ import pytest
 
 import leastsquaresoptim_jl_tpu as lso
 
-from minpack_problems import cholesky_suite, full_suite, rosenbrock, wood
+from leastsquaresoptim_jl_tpu.models.minpack import (
+    cholesky_suite,
+    full_suite,
+    rosenbrock,
+    wood,
+)
 
 SSR_TOL = 1e-3
 

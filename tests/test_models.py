@@ -1,0 +1,73 @@
+"""Model-family front end: curve_fit / curve_fit_batch + built-in zoos."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.models import (
+    CURVES,
+    NIST_DATASETS,
+    NIST_MODELS,
+    full_suite,
+)
+
+
+def test_curve_fit_named_model():
+    """Fit the built-in exp_saturation shape to exact data."""
+    x = jnp.linspace(1.0, 80.0, 40)
+    beta_true = jnp.array([240.0, 5e-4])
+    y = CURVES["exp_saturation"](x, beta_true)
+    r = lso.curve_fit("exp_saturation", x, y, [200.0, 1e-3])
+    assert r.converged
+    assert np.allclose(r.minimizer, np.asarray(beta_true), rtol=1e-6)
+
+
+def test_curve_fit_nist_model_and_weights():
+    """NIST model by name + weights: zero-weight rows are ignored."""
+    d = NIST_DATASETS["misra1a"]
+    x = jnp.asarray(d["x"])
+    y = jnp.asarray(d["y"])
+    # Corrupt two rows, zero their weights: the fit must match the fit on
+    # the data with those rows removed (identical objective).
+    y_bad = y.at[0].set(1e6).at[5].set(-1e6)
+    w = jnp.ones_like(y).at[0].set(0.0).at[5].set(0.0)
+    keep = np.array([i for i in range(len(d["x"])) if i not in (0, 5)])
+    r = lso.curve_fit("misra1a", x, y_bad, d["starts"][0], weights=w)
+    r_removed = lso.curve_fit("misra1a", x[keep], y[keep], d["starts"][0])
+    assert np.allclose(r.minimizer, r_removed.minimizer, rtol=1e-6)
+
+
+def test_curve_fit_unknown_model():
+    with pytest.raises(ValueError, match="unknown model"):
+        lso.curve_fit("not_a_model", [1.0], [1.0], [1.0])
+
+
+def test_curve_fit_batch_matches_single():
+    B, m = 8, 32
+    x = jnp.linspace(1.0, 60.0, m)
+    betas = jnp.stack(
+        [jnp.linspace(150.0, 300.0, B), jnp.linspace(4e-4, 9e-4, B)], axis=1
+    )
+    import jax
+
+    Y = jax.vmap(lambda b: CURVES["exp_saturation"](x, b))(betas)
+    p0 = betas * 1.2
+    raw = lso.curve_fit_batch("exp_saturation", x, Y, p0)
+    assert raw["minimizer"].shape == (B, 2)
+    assert np.allclose(np.asarray(raw["minimizer"]), np.asarray(betas),
+                       rtol=1e-5)
+    # spot-check one row against the single-fit API
+    r0 = lso.curve_fit("exp_saturation", x, Y[0], p0[0])
+    assert np.allclose(raw["minimizer"][0], r0.minimizer, rtol=1e-8, atol=1e-10)
+
+
+def test_zoo_shapes():
+    """Every built-in curve evaluates and the NIST registry is complete."""
+    x = jnp.linspace(0.5, 3.0, 7)
+    for name, fn in CURVES.items():
+        nb = {"exp_saturation": 2, "power": 2, "michaelis_menten": 2}.get(name, 3)
+        y = fn(x, jnp.ones(nb))
+        assert y.shape == x.shape, name
+    assert set(NIST_MODELS) == set(NIST_DATASETS)
+    assert len(full_suite()) == 21

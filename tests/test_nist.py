@@ -15,43 +15,7 @@ import numpy as np
 import pytest
 
 import leastsquaresoptim_jl_tpu as lso
-
-from nist_data import DATASETS
-
-MODELS = {
-    "misra1a": lambda x, b: b[0] * (1.0 - jnp.exp(-b[1] * x)),
-    "Misra1b": lambda x, b: b[0] * (1.0 - (1.0 + b[1] * x / 2.0) ** (-2.0)),
-    "Chwirut1": lambda x, b: jnp.exp(-b[0] * x) / (b[1] + b[2] * x),
-    "Chwirut2": lambda x, b: jnp.exp(-b[0] * x) / (b[1] + b[2] * x),
-    "Lanczos3": lambda x, b: (
-        b[0] * jnp.exp(-b[1] * x) + b[2] * jnp.exp(-b[3] * x)
-        + b[4] * jnp.exp(-b[5] * x)
-    ),
-    "Gauss1": lambda x, b: (
-        b[0] * jnp.exp(-b[1] * x)
-        + b[2] * jnp.exp(-((x - b[3]) ** 2) / b[4] ** 2)
-        + b[5] * jnp.exp(-((x - b[6]) ** 2) / b[7] ** 2)
-    ),
-    "Gauss2": lambda x, b: (
-        b[0] * jnp.exp(-b[1] * x)
-        + b[2] * jnp.exp(-((x - b[3]) ** 2) / b[4] ** 2)
-        + b[5] * jnp.exp(-((x - b[6]) ** 2) / b[7] ** 2)
-    ),
-    "DanWood": lambda x, b: b[0] * x ** b[1],
-    "MGH09": lambda x, b: b[0] * (x**2 + x * b[1]) / (x**2 + x * b[2] + b[3]),
-    "Thurber": lambda x, b: (
-        (b[0] + b[1] * x + b[2] * x**2 + b[3] * x**3)
-        / (1.0 + b[4] * x + b[5] * x**2 + b[6] * x**3)
-    ),
-    "BoxBOD": lambda x, b: b[0] * (1.0 - jnp.exp(-b[1] * x)),
-    "Rat42": lambda x, b: b[0] / (1.0 + jnp.exp(b[1] - b[2] * x)),
-    "MGH10": lambda x, b: b[0] * jnp.exp(b[1] / (x + b[2])),
-    "Eckerle4": lambda x, b: (
-        (b[0] / b[1]) * jnp.exp(-((x - b[2]) ** 2) / (2.0 * b[1] ** 2))
-    ),
-    "Rat43": lambda x, b: b[0] / (1.0 + jnp.exp(b[1] - b[2] * x)) ** (1.0 / b[3]),
-    "Bennet5": lambda x, b: b[0] * (b[1] + x) ** (-1.0 / b[2]),
-}
+from leastsquaresoptim_jl_tpu.models.nist import DATASETS, MODELS
 
 # Reference scoreboard (test/nonlinearfitting.jl:1464-1471) passes a subset
 # of the 32 runs per optimizer; require at least this many here.
@@ -70,12 +34,15 @@ def _scoreboard(optimizer):
         def residual(beta, xdata=xdata, ydata=ydata, model=model):
             return ydata - model(xdata, beta)
 
+        # One problem (= one compiled executable) per dataset; the two
+        # certified starts go through the x0 override.
+        p = lso.least_squares_problem(
+            f=residual, x=jnp.asarray(d["starts"][0], dtype=jnp.float64)
+        )
         for start in d["starts"]:
-            p = lso.least_squares_problem(
-                f=residual, x=jnp.asarray(start, dtype=jnp.float64)
-            )
             r = lso.optimize_problem(
-                p, optimizer, x_tol=1e-50, f_tol=1e-36, g_tol=1e-50
+                p, optimizer, x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+                x0=jnp.asarray(start, dtype=jnp.float64),
             )
             assert not np.isnan(np.mean(r.minimizer)), name
             total += 1

@@ -1,0 +1,136 @@
+"""Sparse (BCOO) Jacobian axis — the reference's sparse-CSC sweep.
+
+Port of the reference's sparse coverage: the {sparse} x {LSMR} x
+{Dogleg, LM} grid (reference: test/nonlinearsolvers.jl:505-537), the
+sparse default rule sparse J -> LevenbergMarquardt (:619-628), the
+QR-with-sparse rejection (reference: src/types.jl:114-118), and the
+pattern-fixed user g! contract (test/nonlinearleastsquares.jl:47-86).
+Plus what the reference cannot do: compressed (colored) forward-mode AD of
+the sparse Jacobian, validated against dense jacfwd.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.ops.sparse import color_columns
+
+from leastsquaresoptim_jl_tpu.models.minpack import (
+    broyden_banded,
+    broyden_tridiagonal,
+)
+
+SSR_TOL = 1e-3
+
+
+def _tridiag_pattern(n):
+    return [(i, j) for i in range(n) for j in (i - 1, i, i + 1) if 0 <= j < n]
+
+
+def _banded_pattern(n, lo=5, hi=1):
+    return [
+        (i, j)
+        for i in range(n)
+        for j in range(max(0, i - lo), min(n, i + hi + 1))
+    ]
+
+
+def _sparse_problem(prob_fn, pattern_fn, n):
+    name, f, x0, _ = prob_fn(n)
+    jac = lso.sparse_jacobian(f, pattern_fn(n), n, n)
+    return name, lso.least_squares_problem(f=f, x=x0, g=jac)
+
+
+def test_colored_jacobian_matches_dense():
+    """Compressed AD recovers every entry exactly (same dtype, same values)."""
+    for prob_fn, pattern_fn in [
+        (broyden_tridiagonal, _tridiag_pattern),
+        (broyden_banded, _banded_pattern),
+    ]:
+        name, f, x0, _ = prob_fn(12)
+        jac = lso.sparse_jacobian(f, pattern_fn(12), 12, 12)
+        dense = jax.jacfwd(f)(x0)
+        assert np.allclose(np.asarray(jac(x0).todense()), np.asarray(dense)), name
+
+
+def test_coloring_is_valid_and_compressed():
+    """Conflicting columns get distinct colors; banded patterns use O(band)
+    colors, not O(n)."""
+    n = 40
+    idx = np.asarray(_tridiag_pattern(n))
+    colors = color_columns(idx, n)
+    # validity: columns sharing a row differ in color
+    for r in range(n):
+        cols = idx[idx[:, 0] == r, 1]
+        assert len({colors[c] for c in cols}) == len(cols)
+    assert colors.max() + 1 <= 3  # tridiagonal needs exactly 3
+
+
+@pytest.mark.parametrize("opt_name", ["dogleg", "lm"])
+def test_sparse_lsmr_grid(opt_name):
+    """Reference sparse sweep {Dogleg, LM} x LSMR (:505-537)."""
+    opt = {
+        "dogleg": lso.Dogleg(lso.LSMR()),
+        "lm": lso.LevenbergMarquardt(lso.LSMR()),
+    }[opt_name]
+    for prob_fn, pattern_fn in [
+        (broyden_tridiagonal, _tridiag_pattern),
+        (broyden_banded, _banded_pattern),
+    ]:
+        name, problem = _sparse_problem(prob_fn, pattern_fn, 10)
+        r = lso.optimize_problem(problem, opt)
+        assert r.ssr <= SSR_TOL, f"{name}: ssr={r.ssr}"
+
+
+def test_sparse_defaults_to_lm():
+    """Reference defaults test (:619-628): sparse J -> LevenbergMarquardt."""
+    _, problem = _sparse_problem(broyden_tridiagonal, _tridiag_pattern, 10)
+    r = lso.optimize_problem(problem)
+    assert r.optimizer == "LevenbergMarquardt"
+    assert r.ssr <= SSR_TOL
+
+
+def test_sparse_rejects_dense_solvers():
+    """Reference: src/types.jl:114-118 (QR); Cholesky has no sparse method."""
+    _, problem = _sparse_problem(broyden_tridiagonal, _tridiag_pattern, 6)
+    with pytest.raises(ValueError, match="QR"):
+        lso.optimize_problem(problem, lso.Dogleg(lso.QR()))
+    with pytest.raises(ValueError, match="Cholesky"):
+        lso.optimize_problem(problem, lso.LevenbergMarquardt(lso.Cholesky()))
+
+
+def test_sparse_result_jacobian():
+    """The final Jacobian comes back sparse, pattern intact."""
+    _, problem = _sparse_problem(broyden_tridiagonal, _tridiag_pattern, 8)
+    r = lso.optimize_problem(problem)
+    assert hasattr(r.jacobian, "todense")
+    dense = jax.jacfwd(problem.residual_fn)(jnp.asarray(r.minimizer))
+    assert np.allclose(np.asarray(r.jacobian.todense()), np.asarray(dense),
+                       atol=1e-8)
+
+
+def test_user_analytic_sparse_g():
+    """Pattern-fixed analytic sparse g, the reference's CSC-nonzeros contract
+    (test/nonlinearleastsquares.jl:47-86)."""
+    from jax.experimental.sparse import BCOO
+
+    n = 10
+    name, f, x0, _ = broyden_tridiagonal(n)
+    idx = jnp.asarray(_tridiag_pattern(n), dtype=jnp.int32)
+
+    def g(x):
+        # d f_i/d x_i = 3 - 4 x_i ; d f_i/d x_{i-1} = -1 ; d f_i/d x_{i+1} = -2
+        vals = jnp.where(
+            idx[:, 0] == idx[:, 1],
+            3.0 - 4.0 * x[idx[:, 1]],
+            jnp.where(idx[:, 1] < idx[:, 0], -1.0, -2.0),
+        )
+        return BCOO((vals, idx), shape=(n, n), indices_sorted=True,
+                    unique_indices=True)
+
+    problem = lso.least_squares_problem(f=f, x=x0, g=g)
+    assert problem.jacobian_is_sparse
+    r = lso.optimize_problem(problem)
+    assert r.ssr <= SSR_TOL
