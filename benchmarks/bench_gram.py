@@ -20,17 +20,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _time(fn, *args, reps=5):
+def _scalar_fetch(out):
+    """Host-sync on a single element (the axon tunnel makes full-array
+    fetches and unforced block_until_ready unreliable for timing)."""
+    leaf = None
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])[0]  # host sync
-    return (time.perf_counter() - t0) / reps
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf[(0,) * leaf.ndim]))
+
+
+def _time(fn, arg_sets, reps=6):
+    """Min wall time of fn over reps (the shared-chip tunnel adds multi-ms
+    stalls to individual dispatches; min is the stable statistic), cycling
+    precomputed argument sets so no two consecutive dispatches are
+    identical (dispatch caching)."""
+    out = fn(*arg_sets[0])
+    _scalar_fetch(out)
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*arg_sets[(i + 1) % len(arg_sets)])
+        _scalar_fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -45,23 +58,42 @@ def main():
     J = jnp.asarray(rng.standard_normal((m, n)), dtype)
     y = jnp.asarray(rng.standard_normal(m), dtype)
 
-    fused = jax.jit(lambda J, y: gram_and_rhs(J, y))
-    t_fused = _time(fused, J, y)
+    # Dispatch latency through the axon tunnel is tens of ms — amortize by
+    # chaining K kernel applications inside one jitted dispatch. Each step
+    # perturbs the (n,)-sized rhs input only (cheap), so the 1 GB J read
+    # cannot be CSE'd away but no extra HBM traffic is added.
+    K = 16
+    scales = jnp.linspace(1.0, 1.0 + 1e-5, K, dtype=dtype)
+
+    def chain(kernel):
+        def run(J, y):
+            def step(acc, c):
+                g, r = kernel(J, y * c)
+                return acc + g[0, 0] + r[0], None
+
+            acc, _ = jax.lax.scan(step, jnp.zeros((), dtype), scales)
+            return acc
+
+        return jax.jit(run)
+
+    arg_sets = [(J, y), (J, y * np.float32(1.0000001))]
+    t_fused = _time(chain(gram_and_rhs), arg_sets) / K
     bytes_min = m * n * 4  # roofline: single read of J
     gbs = bytes_min / t_fused / 1e9
 
-    # HBM copy bandwidth as measured speed-of-light (read+write, so one copy
-    # moves 2x the buffer).
-    copy = jax.jit(lambda x: x + 1.0)
-    t_copy = _time(copy, J)
-    copy_gbs = 2 * bytes_min / t_copy / 1e9
+    # HBM speed-of-light: a pure reduction reading J once per step.
+    def read_only(J, y):
+        return jnp.sum(J, axis=0, keepdims=True) * y[0], jnp.zeros((1,), dtype)
+
+    t_copy = _time(chain(read_only), arg_sets) / K
+    copy_gbs = bytes_min / t_copy / 1e9
     sol_frac = gbs / copy_gbs if copy_gbs > 0 else float("nan")
 
-    # Two-pass unfused baseline.
+    # Two-pass unfused baseline (separate J reads for J'J and J'y).
     def two_pass(J, y):
         return J.T @ J, J.T @ y
 
-    t_two = _time(jax.jit(two_pass), J, y)
+    t_two = _time(chain(two_pass), arg_sets) / K
 
     print(
         json.dumps(

