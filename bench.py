@@ -86,26 +86,42 @@ def main():
 
     opts = lso.Options(iterations=iters, f_tol=1e-12, x_tol=1e-12, g_tol=1e-12)
 
-    run = jax.jit(
-        lambda x0, d: lso.solve_batch(
+    def solve_one_batch(x0, d):
+        return lso.solve_batch(
             f, x0, d, lso.LevenbergMarquardt(lso.Cholesky()),
             output_length=m, options=opts,
         )["minimizer"]
+
+    # Chain R full batches inside one dispatch (lax.map over perturbed
+    # starts): a single dispatch through the axon tunnel costs ~40 ms of
+    # fixed latency, so unchained timing mostly measures the tunnel, not
+    # the solver. R*B fits per dispatch measures steady-state throughput.
+    R = 5
+    perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
+
+    run = jax.jit(
+        lambda x0, d: jax.lax.map(
+            lambda c: solve_one_batch(x0 * c, d), perturbs
+        )[-1]
     )
 
     # warmup/compile
     out = run(x0j, data)
     np.asarray(out)
-    reps = 5
-    t0 = time.perf_counter()
+    reps = 4
+    times = []
     for i in range(reps):
         # vary inputs and force a host fetch: on the axon runtime,
         # block_until_ready can return before execution completes and
         # identical dispatches may be cached, so device-only timing lies.
+        t0 = time.perf_counter()
         out = run(x0j * (1.0 + 1e-5 * i), data)
         np.asarray(out)
-    tpu_time = (time.perf_counter() - t0) / reps
-    fits_per_s = B / tpu_time
+        times.append(time.perf_counter() - t0)
+    # min over reps: the shared-chip tunnel adds multi-ms stalls to some
+    # dispatches; min is the stable statistic of solver throughput.
+    tpu_time = min(times)
+    fits_per_s = R * B / tpu_time
 
     # NumPy baseline on a subsample, extrapolated
     nb = 50
