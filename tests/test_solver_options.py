@@ -1,0 +1,95 @@
+"""Solver-option plumbing: user preconditioners, inner-iteration caps,
+trace printing — the reference's configuration surface (SURVEY.md §5
+"Config / flag system")."""
+
+import io
+import contextlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.models.minpack import rosenbrock, wood
+
+
+def test_lsmr_user_preconditioner():
+    """LSMR(preconditioner=...) overrides the Jacobi default
+    (reference: LSMR(preconditioner!, P), iterative_lsmr.jl:143-145)."""
+    calls = []
+
+    def precond(op, damp):
+        calls.append(1)
+        s = op.colnorms2()
+        if damp is not None:
+            s = s + damp
+        return jnp.where(s > 0, 1.0 / jnp.sqrt(s), 0.0)
+
+    name, f, x0, _ = rosenbrock()
+    p = lso.least_squares_problem(f=f, x=x0)
+    r = lso.optimize_problem(
+        p, lso.LevenbergMarquardt(lso.LSMR(preconditioner=precond))
+    )
+    assert r.ssr <= 1e-10
+    assert calls  # the custom preconditioner was used (at trace time)
+
+
+def test_lsmr_maxiter_cap():
+    """LSMR(maxiter=k) caps inner iterations; mul_calls reflects it."""
+    name, f, x0, _ = wood()
+    p = lso.least_squares_problem(f=f, x=x0)
+    r_cap = lso.optimize_problem(
+        p, lso.LevenbergMarquardt(lso.LSMR(maxiter=2)), iterations=5
+    )
+    r_free = lso.optimize_problem(
+        p, lso.LevenbergMarquardt(lso.LSMR()), iterations=5
+    )
+    # capped run does at most 2*2 mvps per outer iteration from the solver
+    assert r_cap.mul_calls < r_free.mul_calls
+
+
+def test_show_trace_prints():
+    """show_trace prints per-iteration rows via the debug callback
+    (reference: update!, utils.jl:97-114)."""
+    name, f, x0, _ = rosenbrock()
+    p = lso.least_squares_problem(f=f, x=x0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        r = lso.optimize_problem(p, lso.Dogleg(), show_trace=True,
+                                 show_every=2)
+    out = buf.getvalue()
+    assert r.converged
+    # at least some iteration lines were printed
+    assert any(line.strip() and line.strip()[0].isdigit()
+               for line in out.splitlines())
+
+
+def test_curve_fit_with_bounds():
+    """Bounds thread through the curve-fit front end: the iterate lands on
+    the active bound and stays feasible. (With coupled parameters the
+    clip-step scheme — same as the reference's, levenberg_marquardt.jl:89-98
+    — cannot certify KKT via the projected gradient; the g_converged cases
+    live in test_bounds.py with separable residuals, like the reference's
+    own test/bounds.jl.)"""
+    x = jnp.linspace(0.1, 6.0, 40)
+    true = jnp.array([2.4, 0.5])
+    y = true[0] * (1 - jnp.exp(-true[1] * x))
+    r = lso.curve_fit(
+        "exp_saturation", x, y, [3.0, 1.0],
+        lower=[2.6, 0.0],  # lower bound above the true scale: active
+        iterations=200,
+    )
+    assert np.isclose(r.minimizer[0], 2.6)  # pinned at the bound
+    assert r.minimizer[1] > 0.0
+    # feasible and better than the start
+    start_ssr = float(jnp.sum((y - 3.0 * (1 - jnp.exp(-1.0 * x))) ** 2))
+    assert r.ssr < start_ssr
+
+
+def test_options_hashable_and_reused():
+    """Options is a frozen dataclass usable as a jit-cache key; two solves
+    with identical options reuse one compiled executable (the reference's
+    LeastSquaresProblemAllocated reuse, types.jl:141-160)."""
+    o1 = lso.Options(iterations=7)
+    o2 = lso.Options(iterations=7)
+    assert o1 == o2 and hash(o1) == hash(o2)
