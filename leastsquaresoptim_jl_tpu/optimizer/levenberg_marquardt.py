@@ -126,8 +126,39 @@ def optimize_loop(
 
         # Damped inner solve (reference :87) + box clip (:89-98).
         dx, lmiter = solve_damped(op, fcur, damp)
-        dx = clip_step_to_bounds(dx, x, lower, upper)
         mul_calls = c["mul_calls"] + lmiter
+        if lower is not None or upper is not None:
+            # Active-set refinement (improvement over the reference, whose
+            # pure step clipping stalls on *coupled* problems: the clipped
+            # step keeps free components computed under the assumption that
+            # the clipped ones moved the full distance). Pin the binding
+            # coordinates at their clipped values, shift the residual by
+            # that partial move, and re-solve the damped system for the
+            # free components (binding coords frozen by a huge damping
+            # entry). The free components then solve the correct active-set
+            # subspace problem, so the projected-gradient KKT test can
+            # actually reach g_tol on coupled problems.
+            dx_clipped = clip_step_to_bounds(dx, x, lower, upper)
+            binds = jnp.abs(dx_clipped - dx) > 0
+
+            def resolve():
+                dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
+                f_shift = fcur - op.matvec(dx_a)
+                freeze = config.MAX_DIAGONAL * (jnp.mean(dtd) + 1.0)
+                damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp)
+                dx2, it2 = solve_damped(op, f_shift, damp2)
+                dx_full = dx_a + jnp.where(binds, jnp.zeros_like(dx), dx2)
+                return (
+                    clip_step_to_bounds(dx_full, x, lower, upper),
+                    it2 + 1,  # + the shift matvec
+                )
+
+            dx, lmiter2 = jax.lax.cond(
+                jnp.any(binds),
+                resolve,
+                lambda: (dx_clipped, jnp.zeros_like(lmiter)),
+            )
+            mul_calls = mul_calls + lmiter2
 
         # Projected gradient for the KKT g_tol test, evaluated at the
         # pre-update x (reference :100-104).

@@ -64,26 +64,26 @@ def test_show_trace_prints():
                for line in out.splitlines())
 
 
-def test_curve_fit_with_bounds():
-    """Bounds thread through the curve-fit front end: the iterate lands on
-    the active bound and stays feasible. (With coupled parameters the
-    clip-step scheme — same as the reference's, levenberg_marquardt.jl:89-98
-    — cannot certify KKT via the projected gradient; the g_converged cases
-    live in test_bounds.py with separable residuals, like the reference's
-    own test/bounds.jl.)"""
+def test_curve_fit_with_bounds_coupled_kkt():
+    """Bounds thread through the curve-fit front end, and LM's active-set
+    refinement certifies KKT on a *coupled* bounded problem — the
+    reference's pure clip-step (levenberg_marquardt.jl:89-98) stalls here
+    without g-convergence (the clipped step's free components assume the
+    clipped ones moved)."""
     x = jnp.linspace(0.1, 6.0, 40)
     true = jnp.array([2.4, 0.5])
     y = true[0] * (1 - jnp.exp(-true[1] * x))
     r = lso.curve_fit(
         "exp_saturation", x, y, [3.0, 1.0],
+        optimizer=lso.LevenbergMarquardt(),
         lower=[2.6, 0.0],  # lower bound above the true scale: active
-        iterations=200,
+        x_tol=0.0, f_tol=0.0,
     )
     assert np.isclose(r.minimizer[0], 2.6)  # pinned at the bound
-    assert r.minimizer[1] > 0.0
-    # feasible and better than the start
-    start_ssr = float(jnp.sum((y - 3.0 * (1 - jnp.exp(-1.0 * x))) ** 2))
-    assert r.ssr < start_ssr
+    assert r.g_converged  # KKT certified, not a stall
+    assert r.iterations < 50
+    # and matches the subspace optimum over the free coordinate
+    assert np.isclose(r.minimizer[1], 0.415000, atol=1e-4)
 
 
 def test_options_hashable_and_reused():
