@@ -139,3 +139,19 @@ def test_solve_sharded_batch_axis():
         raw = run(data)
     assert np.all(np.asarray(raw["converged"]))
     assert np.allclose(raw["minimizer"], betas_true, atol=1e-4)
+
+
+def test_collective_structure_one_allreduce_per_matvec_pair():
+    """Compiled-HLO gate on the distributed-LSMR design (SURVEY.md §2):
+    Jv is local (zero collectives), J'u costs exactly one all-reduce —
+    so one all-reduce per LSMR matvec pair, riding ICI."""
+    mesh = _mesh()
+    J = jnp.ones((64, 4))
+    Js = shard_rows(J, mesh)
+    op = make_sharded_operator(Js, mesh)
+    mv_hlo = jax.jit(op.matvec).lower(jnp.ones(4)).compile().as_text()
+    rmv_hlo = jax.jit(op.rmatvec).lower(jnp.ones(64)).compile().as_text()
+    cn_hlo = jax.jit(op.colnorms2).lower().compile().as_text()
+    assert mv_hlo.count("all-reduce") == 0
+    assert rmv_hlo.count("all-reduce") == 1
+    assert cn_hlo.count("all-reduce") == 1
