@@ -65,6 +65,25 @@ def load_pytree(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Persist a pytree with orbax-checkpoint (async-capable, sharded-array
+    aware — required for multi-host runs, where each host must write only
+    its own shards). ``path`` must be a directory path."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_pytree_orbax(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree_orbax`. ``like``
+    supplies structure/shape/sharding targets (abstract arrays allowed)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)
+
+
 def resume_x0(path: str) -> np.ndarray:
     """Pull just the minimizer out of a saved raw result, to restart a solve
     from the last iterate (the analogue of the reference's in-place ``nls.x``

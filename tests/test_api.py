@@ -178,3 +178,20 @@ def test_pytree_parameters():
     r2 = lso.optimize_problem(p, lso.Dogleg(), x0=r.minimizer)
     assert r2.converged
     assert np.allclose(r2.minimizer["scale"], 240.0, rtol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax path: async/sharded-aware checkpointing for multi-host runs."""
+    import jax
+    import numpy as np
+
+    from leastsquaresoptim_jl_tpu.utils import checkpoint
+
+    tree = {"minimizer": jnp.arange(4.0), "ssr": jnp.asarray(1.5)}
+    p = str(tmp_path / "ck")
+    checkpoint.save_pytree_orbax(p, tree)
+    back = checkpoint.load_pytree_orbax(
+        p, jax.tree_util.tree_map(np.zeros_like, tree)
+    )
+    assert np.allclose(back["minimizer"], tree["minimizer"])
+    assert float(back["ssr"]) == 1.5
