@@ -44,8 +44,12 @@ def solve_batch(
     Wrap the call in ``jax.jit`` for repeated use.
     """
     opts = options or Options()
-    if opts.tracing:
-        raise ValueError("tracing is not supported under batched solves")
+    if opts.show_trace:
+        raise ValueError(
+            "show_trace (live printing) is not supported under batched "
+            "solves; store_trace works — each problem gets its own "
+            "fixed-size trace buffer in the result"
+        )
     x0_batch = jnp.asarray(x0_batch)
 
     def single(x0, data):

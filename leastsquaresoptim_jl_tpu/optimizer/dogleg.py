@@ -9,6 +9,12 @@ re-run, exactly matching the reference's two-cost-branch loop body.
 Geometry is measured in the D-metric ``wnorm(v, dtd)`` with the absolute
 clamp dtd ∈ [1e-6, 1e32] (reference :85-90) and the first-iteration radius
 rescale Δ *= wnorm(x, dtd) (reference :92-97).
+
+Box bounds use the reference's pure step clipping (:148-157). For
+*coupled* bounded problems that scheme can stall before the KKT test
+fires; LevenbergMarquardt carries an active-set refinement for that case
+(see optimizer/levenberg_marquardt.py) and is the recommended optimizer
+when bounds are expected to be active.
 """
 
 from __future__ import annotations

@@ -106,14 +106,15 @@ def optimize_loop(
         delta = c["delta"]
 
         # Jacobian reuse across rejected steps (reference :77-81).
-        if materialize:
-            jstate = jax.lax.cond(
-                c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
-            )
-            op = operators.from_matrix(jstate)
-        else:
-            jstate = jnp.where(c["need_jacobian"], x, c["jstate"])
-            op = operators.from_linearization(residual_fn, jstate, m)
+        with jax.named_scope("lm/jacobian"):
+            if materialize:
+                jstate = jax.lax.cond(
+                    c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
+                )
+                op = operators.from_matrix(jstate)
+            else:
+                jstate = jnp.where(c["need_jacobian"], x, c["jstate"])
+                op = operators.from_linearization(residual_fn, jstate, m)
         g_calls = c["g_calls"] + c["need_jacobian"].astype(jnp.int32)
 
         # Scale-invariant damping diagonal (reference :82-86).
@@ -125,7 +126,8 @@ def optimize_loop(
         damp = dtd / delta
 
         # Damped inner solve (reference :87) + box clip (:89-98).
-        dx, lmiter = solve_damped(op, fcur, damp)
+        with jax.named_scope("lm/inner_solve"):
+            dx, lmiter = solve_damped(op, fcur, damp)
         mul_calls = c["mul_calls"] + lmiter
         if lower is not None or upper is not None:
             # Active-set refinement (improvement over the reference, whose

@@ -79,9 +79,32 @@ def test_batch_lsmr_matrix_free():
     assert np.allclose(raw["minimizer"], 1.0, atol=1e-6)
 
 
-def test_batch_rejects_tracing():
+def test_batch_rejects_live_trace_printing():
+    """show_trace needs host printing and is rejected; store_trace works
+    (test_batched_store_trace)."""
     with pytest.raises(ValueError):
         lso.solve_batch(
             lambda x: x, jnp.zeros((2, 2)),
-            options=lso.Options(store_trace=True),
+            options=lso.Options(show_trace=True),
         )
+
+
+def test_batched_store_trace():
+    """store_trace under vmap: per-problem fixed-size trace buffers."""
+    import numpy as np
+
+    def f(x, data):
+        return data - x
+
+    B, m = 3, 4
+    data = jnp.arange(float(B * m)).reshape(B, m)
+    x0 = jnp.zeros((B, m))
+    raw = lso.solve_batch(
+        f, x0, data, lso.LevenbergMarquardt(lso.Cholesky()),
+        output_length=m,
+        options=lso.Options(iterations=10, store_trace=True),
+    )
+    assert raw["trace"].shape == (B, 11, 3)
+    # row 0 records each problem's initial ssr
+    ssr0 = np.sum(np.asarray(data) ** 2, axis=1)
+    assert np.allclose(np.asarray(raw["trace"])[:, 0, 1], ssr0)
