@@ -18,8 +18,10 @@ import leastsquaresoptim_jl_tpu as lso
 from leastsquaresoptim_jl_tpu.models.nist import DATASETS, MODELS
 
 # Reference scoreboard (test/nonlinearfitting.jl:1464-1471) passes a subset
-# of the 32 runs per optimizer; require at least this many here.
-MIN_SCORE = {"dogleg": 22, "lm": 22}
+# of the 32 runs per optimizer; require at least this many here. Current
+# measured scores: dogleg 30/32, lm 31/32 (misses are MGH09/MGH10 from
+# their certified far starts); gates leave a 2-run margin.
+MIN_SCORE = {"dogleg": 28, "lm": 29}
 
 
 def _scoreboard(optimizer):
