@@ -68,7 +68,12 @@ def main():
     def chain(kernel):
         def run(J, y):
             def step(acc, c):
-                g, r = kernel(J, y * c)
+                # optimization_barrier: the Gram work itself is
+                # y-independent, so without a barrier XLA's loop-invariant
+                # code motion could hoist it out of the scan and the
+                # per-step time would under-report by up to K x.
+                Jb, yb = jax.lax.optimization_barrier((J, y * c))
+                g, r = kernel(Jb, yb)
                 return acc + g[0, 0] + r[0], None
 
             acc, _ = jax.lax.scan(step, jnp.zeros((), dtype), scales)

@@ -116,12 +116,17 @@ def curve_fit_batch(
     p0 = jnp.asarray(p0)
     xdata = jnp.asarray(xdata)
     ydata = jnp.asarray(ydata)
+    B = p0.shape[0]
     if xdata.ndim == 1:
-        xdata = jnp.broadcast_to(xdata, (p0.shape[0],) + xdata.shape)
+        xdata = jnp.broadcast_to(xdata, (B,) + xdata.shape)
     m = ydata.shape[-1]
-    data = (xdata, ydata) if weights is None else (
-        xdata, ydata, jnp.asarray(weights)
-    )
+    if weights is None:
+        data = (xdata, ydata)
+    else:
+        weights = jnp.asarray(weights)
+        if weights.ndim == 1:  # shared (m,) weights, like shared xdata
+            weights = jnp.broadcast_to(weights, (B,) + weights.shape)
+        data = (xdata, ydata, weights)
 
     def f(beta, d):
         if weights is None:

@@ -62,46 +62,59 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("block_x",))
 def _xtx_pallas(X, block_x: int):
-    """X'X for X (rows, 128k) with rows % block_x == 0, accumulated over a
-    row-block grid. Pure MXU + VMEM-resident accumulator; no y input (see
-    module docstring for why)."""
+    """X'X for X (rows, 128k) with rows % block_x == 0, as a row-block grid.
+
+    Each grid step writes its own (ncols, ncols) partial product; the
+    reduction over blocks happens in XLA afterwards. Deliberately NOT the
+    revisiting-accumulator pattern (init on program_id(0)==0, += on later
+    steps): jax's pallas batching rule *prepends* the vmap axis to the
+    grid, which silently turns program_id(0) into the batch index and
+    corrupts the accumulation — partial outputs are batch-safe by
+    construction. The extra HBM traffic is (rows/block_x) * ncols^2 * 4 B,
+    ~6% of the X read at ncols=256/block 4096.
+    """
     from jax.experimental import pallas as pl
 
     rows, ncols = X.shape
-    grid = (rows // block_x,)
+    nblocks = rows // block_x
+    grid = (nblocks,)
 
     def kernel(x_ref, g_ref):
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
-            g_ref[:] = jnp.zeros_like(g_ref)
-
         xb = x_ref[:]
-        g_ref[:] += jax.lax.dot_general(
+        g_ref[0, :, :] = jax.lax.dot_general(
             xb, xb,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    return pl.pallas_call(
+    partials = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((block_x, ncols), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((ncols, ncols), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((ncols, ncols), jnp.float32),
+        out_specs=pl.BlockSpec((1, ncols, ncols), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblocks, ncols, ncols), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * ncols * ncols,
-            bytes_accessed=rows * ncols * X.dtype.itemsize,
+            bytes_accessed=rows * ncols * X.dtype.itemsize
+            + nblocks * ncols * ncols * 4,
             transcendentals=0,
         ),
     )(X)
+    return jnp.sum(partials, axis=0)
 
 
 def _gram_pallas(J, y):
     m, n = J.shape
     # Fold factor: pack `fold` J-rows into one 128-lane X row. The reshape
-    # is free (row-major) and requires no padding because eligibility is
-    # restricted to n in {32, 64} or multiples of 128 — any column pad
-    # would cost a full-array copy that erases the fused win.
+    # is free (row-major) and requires no padding because supported shapes
+    # are restricted to n in {32, 64} or multiples of 128 — any column pad
+    # would cost a full-array copy that erases the fused win, and a fold
+    # that doesn't divide the block size would silently drop rows.
+    if not (n in (32, 64) or n % 128 == 0):
+        raise ValueError(
+            f"_gram_pallas supports n in {{32, 64}} or multiples of 128, "
+            f"got n={n}; use gram_and_rhs (XLA path) for other shapes"
+        )
     fold = 128 // n if n <= 64 else 1
     rows_per_block = _BLOCK_M  # J rows per grid step
     m_main = (m // (rows_per_block * fold)) * (rows_per_block * fold)
@@ -125,8 +138,11 @@ def _gram_pallas(J, y):
 def _pallas_eligible(J) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    if J.ndim != 2:  # batched (vmapped) calls take the XLA/broadcast path
+    if J.ndim != 2:  # explicitly-batched (B, m, n) arrays take the XLA path
         return False
+    # NOTE: a vmap wrapped around an already-traced call cannot be detected
+    # here; the kernel itself is batch-safe (partial outputs, no
+    # cross-program accumulation — see _xtx_pallas).
     if J.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     m, n = J.shape

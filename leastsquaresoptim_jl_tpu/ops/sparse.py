@@ -84,6 +84,16 @@ def sparse_jacobian(
     idx = np.asarray(indices, dtype=np.int64)
     if idx.ndim != 2 or idx.shape[1] != 2:
         raise ValueError(f"indices must be (nse, 2), got {idx.shape}")
+    if idx.size and (
+        idx.min() < 0 or idx[:, 0].max() >= m or idx[:, 1].max() >= n
+    ):
+        raise ValueError(f"indices out of bounds for a ({m}, {n}) Jacobian")
+    # Sort row-major and reject duplicates so the BCOO flags below are true
+    # (sparse kernels exploit them; a false promise is silent corruption).
+    order = np.lexsort((idx[:, 1], idx[:, 0]))
+    idx = idx[order]
+    if idx.shape[0] > 1 and np.any(np.all(np.diff(idx, axis=0) == 0, axis=1)):
+        raise ValueError("duplicate (row, col) entries in sparsity pattern")
     colors = color_columns(idx, n)
     ncolors = int(colors.max()) + 1 if len(colors) else 1
     # Seed matrix: seeds[c] = sum of unit vectors of columns with color c.

@@ -120,8 +120,13 @@ def optimize_loop(
 
         # Linearization point reuse across rejected steps (reference :81).
         if materialize:
+            keep = c["reuse"]
+            if problem.jacobian_is_sparse:
+                # The sparse carry was seeded with jac_fn(x0); iteration 1
+                # reuses that instead of recomputing it.
+                keep = keep | (it == 1)
             jstate = jax.lax.cond(
-                c["reuse"], lambda: c["jstate"], lambda: jac_fn(x)
+                keep, lambda: c["jstate"], lambda: jac_fn(x)
             )
             op = operators.from_matrix(jstate)
         else:

@@ -63,12 +63,17 @@ def optimize_loop(
 
     if not materialize:
         jstate0 = x
+        need_jacobian0 = True
     elif problem.jacobian_is_sparse:
-        # Sparse carry: the BCOO pattern is static, only data flows. Seed the
-        # carry with a real evaluation (a zeros placeholder has no pattern).
+        # Sparse carry: the BCOO pattern is static, only data flows. Seed
+        # the carry with a real evaluation (a zeros placeholder has no
+        # pattern) — and since that seed IS the Jacobian at x0, the first
+        # iteration reuses it instead of recomputing (need_jacobian=False).
         jstate0 = jac_fn(x)
+        need_jacobian0 = False
     else:
         jstate0 = jnp.zeros((m, n), dt)
+        need_jacobian0 = True
 
     carry = dict(
         x=x,
@@ -76,7 +81,7 @@ def optimize_loop(
         ssr=ssr,
         delta=jnp.asarray(radius0, dt),
         decrease_factor=jnp.asarray(2.0, dt),
-        need_jacobian=jnp.ones((), bool),
+        need_jacobian=jnp.asarray(need_jacobian0, bool),
         jstate=jstate0,
         maxabs_gr=jnp.asarray(jnp.inf, dt),
         it=jnp.int32(0),
@@ -85,7 +90,7 @@ def optimize_loop(
         g_converged=false,
         converged=false,
         f_calls=jnp.int32(1),
-        g_calls=jnp.int32(0),
+        g_calls=jnp.int32(0 if need_jacobian0 else 1),  # seed eval counts
         mul_calls=jnp.int32(0),
         trace=trace,
     )
@@ -146,7 +151,14 @@ def optimize_loop(
             def resolve():
                 dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
                 f_shift = fcur - op.matvec(dx_a)
-                freeze = config.MAX_DIAGONAL * (jnp.mean(dtd) + 1.0)
+                # Freeze factor: large enough that the active columns'
+                # coupling into the free solve is ~1e-10 relative, small
+                # enough that sqrt(freeze) in the stacked-QR damped form
+                # stays finite in f32 (MAX_DIAGONAL * mean overflows there).
+                freeze = jnp.minimum(
+                    1e10 * (jnp.mean(dtd) + 1.0),
+                    jnp.asarray(jnp.finfo(dt).max, dt) / 16,
+                )
                 damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp)
                 dx2, it2 = solve_damped(op, f_shift, damp2)
                 dx_full = dx_a + jnp.where(binds, jnp.zeros_like(dx), dx2)

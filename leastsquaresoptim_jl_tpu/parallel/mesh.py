@@ -81,6 +81,10 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized (or single-process context)
+    except RuntimeError as e:
+        # Tolerate only the benign re-init case; a genuine multi-host setup
+        # failure (bad coordinator, dead peer) must stay loud — silently
+        # degrading to single-host computes wrong results.
+        if "already initialized" not in str(e).lower():
+            raise
     return len(jax.devices())

@@ -146,7 +146,8 @@ def least_squares_problem(
     unravel = None
     try:
         x_arr = jnp.asarray(x)
-    except TypeError:
+    except (TypeError, ValueError):
+        # dicts raise TypeError; dicts/lists of 1-d arrays raise ValueError
         x_arr = None
     if x_arr is None or x_arr.ndim > 1:
         from jax.flatten_util import ravel_pytree

@@ -32,11 +32,17 @@ def save_pytree(path: str, tree: Any) -> None:
     named = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            if v is not None and not jax.tree_util.tree_leaves(v) == []:
-                try:
-                    named[f"key_{k}"] = np.asarray(v)
-                except (TypeError, ValueError):
-                    pass  # non-array field (e.g. a BCOO); full tree covers it
+            if v is None or jax.tree_util.tree_leaves(v) == []:
+                continue
+            try:
+                arr = np.asarray(v)
+            except (TypeError, ValueError):
+                continue  # non-array field; the full tree covers it
+            if arr.dtype == object:
+                # np.asarray(dict) yields a 0-d object array that savez
+                # would pickle — unreadable later with allow_pickle=False.
+                continue
+            named[f"key_{k}"] = arr
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(
         path,
