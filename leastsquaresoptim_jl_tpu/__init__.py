@@ -31,6 +31,7 @@ from .result import (
 from .solver.base import LSMR, QR, Cholesky
 from . import models
 from .models.curves import curve_fit, curve_fit_batch
+from .multistart import latin_hypercube_starts, optimize_multistart
 
 __version__ = "0.1.0"
 
@@ -56,4 +57,6 @@ __all__ = [
     "models",
     "curve_fit",
     "curve_fit_batch",
+    "optimize_multistart",
+    "latin_hypercube_starts",
 ]

@@ -1,0 +1,95 @@
+"""Multi-start solves: batched global(-ish) optimization.
+
+The reference solves from one start per call; hard NLLS problems (e.g. the
+NIST StRD far starts) routinely need several. On TPU the marginal cost of
+extra starts is tiny — they ride the same vmapped kernel as one — so
+multi-start becomes a first-class verb: run S starts in one `solve_batch`,
+return the best converged result (falling back to best ssr if none
+converged).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import solve_batch
+from .optimizer.common import Options
+
+__all__ = ["optimize_multistart", "latin_hypercube_starts"]
+
+
+def latin_hypercube_starts(key, num_starts: int, lower, upper):
+    """Latin-hypercube sample of `num_starts` starts in the box
+    [lower, upper] — stratified per dimension, one cell per start."""
+    lower = jnp.asarray(lower, dtype=jnp.result_type(lower, upper, float))
+    upper = jnp.asarray(upper, lower.dtype)
+    n = lower.shape[0]
+    kperm, kjit = jax.random.split(key)
+    # one random permutation of strata per dimension
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, num_starts)
+    )(jax.random.split(kperm, n)).T  # (S, n)
+    jitter = jax.random.uniform(kjit, (num_starts, n), dtype=lower.dtype)
+    u = (perms + jitter) / num_starts
+    return lower + u * (upper - lower)
+
+
+def optimize_multistart(
+    f: Callable,
+    starts,
+    optimizer=None,
+    *,
+    data=None,
+    options: Optional[Options] = None,
+    output_length: Optional[int] = None,
+    lower=None,
+    upper=None,
+    materialize_jacobian: bool = True,
+    autodiff: str = "forward",
+):
+    """Solve from every row of ``starts`` (S, n) in one batched kernel and
+    return ``(best_raw, all_raw)``.
+
+    ``best_raw`` is the single raw result (pytree of unbatched leaves) with
+    the smallest ssr among converged starts — or among all starts when none
+    converged. ``all_raw`` is the full batched result for inspection.
+    ``data``, if given, is shared by every start (not batched).
+    """
+    starts = jnp.asarray(starts)
+    S = starts.shape[0]
+
+    if data is None:
+        fb = f
+        data_b = None
+    else:
+        fb = lambda x, _unused: f(x, data)
+        data_b = jnp.zeros((S, 1), starts.dtype)  # dummy batch leaf
+
+    raw = solve_batch(
+        fb,
+        starts,
+        data_b,
+        optimizer,
+        options=options,
+        output_length=output_length,
+        lower=lower,
+        upper=upper,
+        materialize_jacobian=materialize_jacobian,
+        autodiff=autodiff,
+    )
+
+    ssr = np.asarray(raw["ssr"])
+    conv = np.asarray(raw["converged"])
+    finite = np.isfinite(ssr)
+    pick_from = conv & finite if np.any(conv & finite) else finite
+    masked = np.where(pick_from, ssr, np.inf)
+    best = int(np.argmin(masked))
+    best_raw = jax.tree_util.tree_map(
+        lambda leaf: leaf[best] if hasattr(leaf, "shape") and leaf.shape[:1] == (S,) else leaf,
+        raw,
+    )
+    return best_raw, raw
