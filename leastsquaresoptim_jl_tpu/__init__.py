@@ -31,6 +31,7 @@ from .result import (
 from .solver.base import LSMR, QR, Cholesky
 from . import models
 from .models.curves import curve_fit, curve_fit_batch
+from .loss import LOSSES, robustify
 from .multistart import latin_hypercube_starts, optimize_multistart
 
 __version__ = "0.1.0"
@@ -59,4 +60,6 @@ __all__ = [
     "curve_fit_batch",
     "optimize_multistart",
     "latin_hypercube_starts",
+    "robustify",
+    "LOSSES",
 ]

@@ -167,13 +167,29 @@ def optimize(
     g: Optional[Callable] = None,
     output_length: Optional[int] = None,
     materialize_jacobian: bool = True,
+    loss="linear",
+    f_scale: float = 1.0,
     **kwargs,
 ) -> LeastSquaresResult:
     """Minimize sum(f(x)^2) from x0 (reference: optimize, src/types.jl:182-184).
 
     ``x0`` may be a flat vector or any pytree of arrays (structured
-    parameters; see least_squares_problem).
+    parameters; see least_squares_problem). ``loss``/``f_scale`` select a
+    robust loss (see loss.py): the objective becomes
+    sum(f_scale^2 rho((f_i/f_scale)^2)) and the reported ssr is that robust
+    value. A user ``g`` is the Jacobian of the *raw* residual and cannot be
+    combined with a non-linear loss (AD handles the transform exactly).
     """
+    if loss != "linear":
+        if g is not None:
+            raise ValueError(
+                "a user Jacobian g applies to the raw residual; robust "
+                "losses differentiate through the loss transform — drop g "
+                "or use loss='linear'"
+            )
+        from .loss import robustify
+
+        f = robustify(f, loss, f_scale)
     problem = least_squares_problem(
         f=f,
         x=x0,

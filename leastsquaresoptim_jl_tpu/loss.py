@@ -1,0 +1,100 @@
+"""Robust loss functions: minimize sum(f_scale^2 * rho((r_i/f_scale)^2)).
+
+Not in the reference (plain sum-of-squares only); standard for production
+curve fitting with outliers (scipy.optimize.least_squares' loss=/f_scale=
+surface). The TPU-native implementation is a pure elementwise residual
+transform
+
+    r~_i = f_scale * sign(r_i) * sqrt(rho((r_i / f_scale)^2))
+
+so that sum(r~^2) == the robust objective exactly, and the whole machinery
+— forward-mode Jacobians, matrix-free JVP/VJP, trust regions, batching,
+sharding — applies unchanged with exact derivatives through the transform
+(no IRLS outer loop, no Triggs correction bookkeeping).
+
+Each rho is smooth with rho(z) ~ z as z -> 0, so r~ ~ r near zero and the
+transform is differentiable everywhere (the sqrt is guarded by the smooth
+ratio form rho(z)/z).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax.numpy as jnp
+
+__all__ = ["LOSSES", "robustify"]
+
+
+def _rho_over_z_linear(z):
+    return jnp.ones_like(z)
+
+
+def _rho_over_z_huber(z):
+    # rho(z) = z if z <= 1 else 2 sqrt(z) - 1
+    sz = jnp.sqrt(jnp.maximum(z, 1.0))
+    return jnp.where(z <= 1.0, jnp.ones_like(z), (2.0 * sz - 1.0) / jnp.maximum(z, 1.0))
+
+
+def _rho_over_z_soft_l1(z):
+    # rho(z) = 2 (sqrt(1+z) - 1); rho/z -> 1 as z -> 0
+    s = jnp.sqrt(1.0 + z)
+    return 2.0 / (s + 1.0)
+
+
+def _rho_over_z_cauchy(z):
+    # rho(z) = ln(1+z); rho/z -> 1 as z -> 0. Double-where so the ratio
+    # branch never sees z ~ 0 (its gradient would be NaN there and
+    # jnp.where gradients evaluate both branches).
+    small = z < 1e-8
+    z_big = jnp.where(small, jnp.ones_like(z), z)
+    return jnp.where(small, 1.0 - z / 2.0, jnp.log1p(z_big) / z_big)
+
+
+def _rho_over_z_arctan(z):
+    # rho(z) = arctan(z); rho/z -> 1 as z -> 0 (double-where, see cauchy)
+    small = z < 1e-8
+    z_big = jnp.where(small, jnp.ones_like(z), z)
+    return jnp.where(small, 1.0 - z * z / 3.0, jnp.arctan(z_big) / z_big)
+
+
+LOSSES = {
+    "linear": _rho_over_z_linear,
+    "huber": _rho_over_z_huber,
+    "soft_l1": _rho_over_z_soft_l1,
+    "cauchy": _rho_over_z_cauchy,
+    "arctan": _rho_over_z_arctan,
+}
+
+
+def robustify(
+    residual_fn: Callable,
+    loss: Union[str, Callable] = "linear",
+    f_scale: float = 1.0,
+) -> Callable:
+    """Wrap ``residual_fn`` so plain least squares on the result minimizes
+    the robust objective sum(f_scale^2 rho((r/f_scale)^2)).
+
+    ``loss`` is a name from :data:`LOSSES` or a callable ``rho_over_z(z)``
+    returning rho(z)/z (the smooth ratio form; must tend to 1 as z -> 0).
+    """
+    if callable(loss):
+        ratio = loss
+    else:
+        try:
+            ratio = LOSSES[loss]
+        except KeyError:
+            raise ValueError(
+                f"unknown loss {loss!r}; expected one of {sorted(LOSSES)} "
+                "or a callable rho_over_z"
+            ) from None
+    if ratio is _rho_over_z_linear:
+        return residual_fn
+
+    def robust_residual(*args, **kwargs):
+        r = residual_fn(*args, **kwargs)
+        scaled = r / f_scale
+        z = scaled * scaled
+        return r * jnp.sqrt(ratio(z))
+
+    return robust_residual

@@ -74,9 +74,10 @@ def curve_fit(
 
     ``model`` is a pure callable or a name from :data:`CURVES` /
     models/nist.py MODELS. ``weights`` (optional, same shape as ydata)
-    scales residuals: minimizes sum(w^2 (y - model)^2). Remaining kwargs
-    (x_tol, f_tol, g_tol, iterations, store_trace, ...) go to
-    ``optimize_problem``. Returns a LeastSquaresResult.
+    scales residuals: minimizes sum(w^2 (y - model)^2). ``loss=``/
+    ``f_scale=`` select a robust loss (loss.py) for outlier-resistant
+    fits. Remaining kwargs (x_tol, f_tol, g_tol, iterations, store_trace,
+    ...) go to ``optimize_problem``. Returns a LeastSquaresResult.
     """
     model = _as_model(model)
     xdata = jnp.asarray(xdata)
