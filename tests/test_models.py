@@ -71,3 +71,32 @@ def test_zoo_shapes():
         assert y.shape == x.shape, name
     assert set(NIST_MODELS) == set(NIST_DATASETS)
     assert len(full_suite()) == 21
+
+
+def test_covariance_and_standard_errors():
+    """Gauss-Newton covariance from the final Jacobian matches the
+    analytic linear-regression covariance on a linear model."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.utils import covariance, standard_errors
+
+    rng = onp.random.default_rng(0)
+    m = 200
+    x = onp.linspace(0.0, 1.0, m)
+    A = onp.stack([x, onp.ones(m)], axis=1)
+    sigma = 0.05
+    y = A @ onp.array([2.0, -1.0]) + rng.normal(0, sigma, m)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def f(beta):
+        return yj - (beta[0] * xj + beta[1])
+
+    r = lso.optimize(f, jnp.zeros(2), lso.LevenbergMarquardt(lso.QR()))
+    cov = covariance(r)
+    s2_hat = r.ssr / (m - 2)
+    cov_ref = s2_hat * onp.linalg.inv(A.T @ A)
+    assert onp.allclose(cov, cov_ref, rtol=1e-6)
+    se = standard_errors(r)
+    # standard errors should be in the right ballpark of the true sigma-based ones
+    se_true = onp.sqrt(onp.diag(sigma**2 * onp.linalg.inv(A.T @ A)))
+    assert onp.all(se > 0.5 * se_true) and onp.all(se < 2.0 * se_true)
