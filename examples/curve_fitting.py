@@ -1,0 +1,67 @@
+"""Curve fitting tour: basic, weighted, robust, bounded, multistart, batched.
+
+Run: python examples/curve_fitting.py   (CPU or TPU; ~30 s first compile)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.utils import standard_errors
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.linspace(1.0, 80.0, 60)
+    true = jnp.array([240.0, 5e-2])
+    y_clean = true[0] * (1 - jnp.exp(-true[1] * x))
+    y = y_clean + jnp.asarray(rng.normal(0, 0.5, 60))
+
+    # 1. basic fit with a named model + standard errors
+    r = lso.curve_fit("exp_saturation", x, y, [200.0, 1e-1])
+    print("basic:", r.minimizer, "+/-", standard_errors(r))
+
+    # 2. robust fit shrugging off gross outliers
+    y_bad = y.at[7].set(5000.0).at[33].set(-3000.0)
+    r = lso.curve_fit("exp_saturation", x, y_bad, [200.0, 1e-1],
+                      loss="soft_l1", f_scale=1.0)
+    print("robust:", r.minimizer)
+
+    # 3. bounded fit: scale pinned at its lower bound, rate still optimal.
+    # (KKT g-certification at the bound is exercised in f64 in
+    # tests/test_solver_options.py; this f32 run converges via x_tol.)
+    r = lso.curve_fit("exp_saturation", x, y, [300.0, 1e-1],
+                      optimizer=lso.LevenbergMarquardt(),
+                      lower=[260.0, 0.0])
+    print("bounded:", r.minimizer, "converged:", r.converged)
+
+    # 4. multistart for a hard basin
+    starts = lso.latin_hypercube_starts(
+        jax.random.PRNGKey(0), 32, jnp.array([1.0, 1e-3]),
+        jnp.array([1000.0, 1.0])
+    )
+    best, _ = lso.optimize_multistart(
+        lambda b, d: d[1] - b[0] * (1 - jnp.exp(-b[1] * d[0])),
+        starts, data=(x, y), output_length=60,
+    )
+    print("multistart:", np.asarray(best["minimizer"]))
+
+    # 5. 10k independent fits in one vmapped kernel
+    B = 10_000
+    betas = jnp.stack(
+        [jnp.linspace(100.0, 400.0, B), jnp.linspace(3e-2, 2e-1, B)], axis=1
+    )
+    Y = jax.vmap(lambda b: b[0] * (1 - jnp.exp(-b[1] * x)))(betas)
+    raw = lso.curve_fit_batch("exp_saturation", x, Y, betas * 1.3)
+    ok = np.mean(np.asarray(raw["converged"]))
+    print(f"batched: {B} fits, {100 * ok:.1f}% converged")
+
+
+if __name__ == "__main__":
+    main()
