@@ -42,6 +42,14 @@ class JacobianOperator:
     J: Optional[jnp.ndarray] = None  # set when materialized
 
 
+# Below this parameter count, dense mat/vec products use broadcast-multiply
+# + reduce instead of dot: under vmap, batched (B, m, n) dots with tiny n
+# starve the MXU, while the broadcast form fuses into one VPU reduction —
+# and it is the same HLO as the fused Gram rhs (ops/gram.py), so XLA CSEs
+# the loop's J'f with the solver's, eliminating one pass over J.
+_BROADCAST_MATVEC_MAX_N = 16
+
+
 def from_matrix(J) -> JacobianOperator:
     """Operator view of a materialized Jacobian — dense (m, n) array or
     sparse BCOO (reference's sparse-CSC axis; see ops/sparse.py)."""
@@ -57,9 +65,15 @@ def from_matrix(J) -> JacobianOperator:
             n=int(n),
             J=J,
         )
+    if n <= _BROADCAST_MATVEC_MAX_N:
+        matvec = lambda v: jnp.sum(J * v[..., None, :], axis=-1)
+        rmatvec = lambda u: jnp.sum(J * u[..., :, None], axis=-2)
+    else:
+        matvec = lambda v: J @ v
+        rmatvec = lambda u: J.T @ u
     return JacobianOperator(
-        matvec=lambda v: J @ v,
-        rmatvec=lambda u: J.T @ u,
+        matvec=matvec,
+        rmatvec=rmatvec,
         colnorms2=lambda: colsumabs2(J),
         m=int(m),
         n=int(n),
