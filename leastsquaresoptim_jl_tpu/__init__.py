@@ -6,13 +6,17 @@ Levenberg-Marquardt and Powell-dogleg trust-region optimizers, each
 parameterizable by dense QR, normal-equations Cholesky, or matrix-free LSMR
 inner solvers; forward-mode-AD / central-difference / user Jacobians;
 matrix-free JVP/VJP operation; box constraints with a projected-gradient KKT
-convergence test; Optim-style results and traces — plus TPU-first additions
-the reference lacks: jit/vmap batched fits, residual-row sharding over
-device meshes with psum-reduced Gram systems, distributed LSMR, and a fused
-Pallas Gram kernel.
+convergence test (plus an LM active-set refinement the reference lacks);
+Optim-style results and traces — and TPU-first additions: jit/vmap batched
+fits, residual-row sharding over device meshes with psum-reduced Gram
+systems, distributed LSMR, a fused Pallas Gram kernel, sparse BCOO
+Jacobians with compressed colored AD, structured (pytree) parameters,
+robust losses, multi-start solving, curve-fit front end, and
+checkpoint/resume.
 
-Public surface mirrors the reference exports
-(reference: src/LeastSquaresOptim.jl:16-46).
+Public surface is a superset of the reference exports
+(reference: src/LeastSquaresOptim.jl:16-46); see docs/PARITY.md for the
+line-by-line mapping.
 """
 
 from .api import optimize, optimize_problem, solve
