@@ -10,11 +10,13 @@ Geometry is measured in the D-metric ``wnorm(v, dtd)`` with the absolute
 clamp dtd ∈ [1e-6, 1e32] (reference :85-90) and the first-iteration radius
 rescale Δ *= wnorm(x, dtd) (reference :92-97).
 
-Box bounds use the reference's pure step clipping (:148-157). For
-*coupled* bounded problems that scheme can stall before the KKT test
-fires; LevenbergMarquardt carries an active-set refinement for that case
-(see optimizer/levenberg_marquardt.py) and is the recommended optimizer
-when bounds are expected to be active.
+Box bounds extend the reference's step clipping (:148-157) with an
+active-set refinement (same scheme as LM, see
+optimizer/levenberg_marquardt.py): when clipping binds, the binding
+coordinates are pinned at their clipped values and the Gauss-Newton system
+is re-solved on the column-masked operator, so the projected-gradient KKT
+test certifies convergence on coupled bounded problems where pure clipping
+stalls.
 """
 
 from __future__ import annotations
@@ -198,7 +200,38 @@ def optimize_loop(
         )
 
         # Box clip (reference :148-157), trial point, gain ratio (:159-177).
-        dx = clip_step_to_bounds(dx, x, lower, upper)
+        if lower is not None or upper is not None:
+            # Active-set refinement (mirrors LM, see
+            # levenberg_marquardt.py): pure clipping stalls on coupled
+            # bounded problems because the free components of the clipped
+            # step assume the clipped ones moved. Pin binding coordinates
+            # at their clipped values, shift the residual, and re-solve the
+            # Gauss-Newton system on the column-masked operator; rescale
+            # the free part into the trust region.
+            dx_clipped = clip_step_to_bounds(dx, x, lower, upper)
+            binds = jnp.abs(dx_clipped - dx) > 0
+
+            def resolve():
+                free = jnp.where(binds, jnp.zeros((), dt), jnp.ones((), dt))
+                dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
+                f_shift = fcur - op.matvec(dx_a)
+                dgn2, it2 = solve_gn(operators.masked(op, free), f_shift)
+                dx2 = free * dgn2
+                wn = wnorm(dx_a + dx2, dtd)
+                scale = jnp.minimum(
+                    jnp.ones((), dt), delta / jnp.maximum(wn, 1e-30)
+                )
+                refined = clip_step_to_bounds(
+                    dx_a + scale * dx2, x, lower, upper
+                )
+                return refined, it2 + 2  # + shift matvec + masked solve ops
+
+            dx, extra_mul = jax.lax.cond(
+                jnp.any(binds),
+                resolve,
+                lambda: (dx_clipped, jnp.int32(0)),
+            )
+            mul_calls = mul_calls + extra_mul
         x_trial = x - dx
         ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1

@@ -64,18 +64,28 @@ def test_show_trace_prints():
                for line in out.splitlines())
 
 
-def test_curve_fit_with_bounds_coupled_kkt():
-    """Bounds thread through the curve-fit front end, and LM's active-set
-    refinement certifies KKT on a *coupled* bounded problem — the
-    reference's pure clip-step (levenberg_marquardt.jl:89-98) stalls here
-    without g-convergence (the clipped step's free components assume the
-    clipped ones moved)."""
+@pytest.mark.parametrize(
+    "opt",
+    [
+        lso.LevenbergMarquardt(),
+        lso.Dogleg(lso.QR()),
+        lso.Dogleg(lso.Cholesky()),
+        lso.Dogleg(lso.LSMR()),
+    ],
+    ids=["lm", "dogleg-qr", "dogleg-chol", "dogleg-lsmr"],
+)
+def test_curve_fit_with_bounds_coupled_kkt(opt):
+    """Bounds thread through the curve-fit front end, and the active-set
+    refinement (both optimizers) certifies KKT on a *coupled* bounded
+    problem — the reference's pure clip-step (levenberg_marquardt.jl:89-98,
+    dogleg.jl:148-157) stalls here without g-convergence (the clipped
+    step's free components assume the clipped ones moved)."""
     x = jnp.linspace(0.1, 6.0, 40)
     true = jnp.array([2.4, 0.5])
     y = true[0] * (1 - jnp.exp(-true[1] * x))
     r = lso.curve_fit(
         "exp_saturation", x, y, [3.0, 1.0],
-        optimizer=lso.LevenbergMarquardt(),
+        optimizer=opt,
         lower=[2.6, 0.0],  # lower bound above the true scale: active
         x_tol=0.0, f_tol=0.0,
     )
