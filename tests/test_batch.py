@@ -108,3 +108,33 @@ def test_batched_store_trace():
     # row 0 records each problem's initial ssr
     ssr0 = np.sum(np.asarray(data) ** 2, axis=1)
     assert np.allclose(np.asarray(raw["trace"])[:, 0, 1], ssr0)
+
+
+def test_batched_bounded_solves():
+    """Bounds under vmap: the active-set refinement's lax.cond becomes a
+    select (both branches run for every problem); results must stay
+    feasible with per-problem pinning."""
+    import jax
+    import numpy as np
+
+    B, m = 6, 30
+    x = jnp.linspace(0.1, 6.0, m)
+    betas = jnp.stack([jnp.linspace(2.0, 3.0, B), jnp.full((B,), 0.5)], 1)
+    Y = jax.vmap(lambda b: b[0] * (1 - jnp.exp(-b[1] * x)))(betas)
+
+    def f(beta, data):
+        xd, yd = data
+        return yd - beta[0] * (1 - jnp.exp(-beta[1] * xd))
+
+    data = (jnp.broadcast_to(x, (B, m)), Y)
+    for opt in (lso.LevenbergMarquardt(lso.Cholesky()), lso.Dogleg(lso.QR())):
+        raw = lso.solve_batch(
+            f, betas * 1.2, data, opt, output_length=m,
+            lower=jnp.array([2.6, 0.0]),
+        )
+        mins = np.asarray(raw["minimizer"])
+        assert np.all(mins[:, 0] >= 2.6 - 1e-9)
+        # true scales at or below the bound pin exactly at it; rest are free
+        expect_pinned = np.asarray(betas[:, 0] <= 2.6 + 1e-12)
+        assert np.array_equal(np.isclose(mins[:, 0], 2.6), expect_pinned)
+        assert np.asarray(raw["converged"]).all()
