@@ -84,6 +84,23 @@ def main():
     iters_per_s = iters_done / t_sharded
 
     # Unsharded single-chip baseline of the same problem (overhead factor).
+    # Only meaningful (and only *possible* — non-addressable shards can't be
+    # fetched) on a single process.
+    if jax.process_count() > 1:
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_lm_lsmr_iterations_per_second",
+                    "value": round(iters_per_s, 3),
+                    "unit": (
+                        f"LM iters/s (rows-sharded over {ndev} devices, "
+                        f"{jax.process_count()} hosts, m={m}, n={n}, f32)"
+                    ),
+                    "vs_baseline": float("nan"),
+                }
+            )
+        )
+        return
     xd0, yd0, id0 = (jnp.asarray(np.asarray(l)) for l in data)
     prob0 = lso.LeastSquaresProblem(
         residual_fn=lambda b: jax.vmap(lambda xr, yr, ii: per_row(b, (xr, yr, ii)))(

@@ -6,7 +6,8 @@ Levenberg-Marquardt and Powell-dogleg trust-region optimizers, each
 parameterizable by dense QR, normal-equations Cholesky, or matrix-free LSMR
 inner solvers; forward-mode-AD / central-difference / user Jacobians;
 matrix-free JVP/VJP operation; box constraints with a projected-gradient KKT
-convergence test (plus an LM active-set refinement the reference lacks);
+convergence test (plus an active-set refinement in both optimizers that
+the reference lacks);
 Optim-style results and traces — and TPU-first additions: jit/vmap batched
 fits, residual-row sharding over device meshes with psum-reduced Gram
 systems, distributed LSMR, a fused Pallas Gram kernel, sparse BCOO

@@ -94,6 +94,14 @@ def robustify(
     def robust_residual(*args, **kwargs):
         r = residual_fn(*args, **kwargs)
         scaled = r / f_scale
+        # Overflow guard: |r| beyond sqrt(floatmax)*f_scale squares to inf,
+        # which every rho ratio mishandles (0 or NaN transformed residuals
+        # with NaN gradients, f32 threshold ~1.8e19). Clamp *before*
+        # squaring so both the primal and its JVP tangent stay finite —
+        # gross outliers saturate (zero gradient), which is exactly the
+        # robust-loss intent.
+        cap = jnp.sqrt(jnp.asarray(jnp.finfo(scaled.dtype).max, scaled.dtype)) / 4
+        scaled = jnp.clip(scaled, -cap, cap)
         z = scaled * scaled
         return r * jnp.sqrt(ratio(z))
 

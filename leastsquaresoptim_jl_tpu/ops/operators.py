@@ -81,24 +81,6 @@ def from_matrix(J) -> JacobianOperator:
     )
 
 
-def masked(op: JacobianOperator, free) -> JacobianOperator:
-    """Restrict an operator to the coordinates where ``free`` (a (n,) 0/1
-    mask) is 1 — the column-masked Jacobian J·diag(free). Used by the
-    bounded active-set refinement: solving on the masked operator is the
-    free-subspace solve with binding coordinates pinned."""
-    J = op.J
-    if J is not None and not hasattr(J, "todense"):
-        J = J * free  # dense: direct solvers need the masked matrix
-    return JacobianOperator(
-        matvec=lambda v: op.matvec(v * free),
-        rmatvec=lambda u: free * op.rmatvec(u),
-        colnorms2=lambda: op.colnorms2() * free,
-        m=op.m,
-        n=op.n,
-        J=J,
-    )
-
-
 _HUTCHINSON_PROBES = 8
 # Up to this parameter count, matrix-free colnorms are computed exactly with
 # n vmapped JVPs (one batched evaluation) instead of estimated: identical to

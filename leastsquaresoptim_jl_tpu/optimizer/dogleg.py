@@ -60,7 +60,7 @@ def optimize_loop(
     jac_fn = problem.jac_fn
     materialize = problem.materialize_jacobian
     m, n = problem.m, problem.n
-    solve_gn, _ = solver_fns(solver_tag)
+    solve_gn, solve_damped = solver_fns(solver_tag)
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
@@ -212,11 +212,21 @@ def optimize_loop(
             binds = jnp.abs(dx_clipped - dx) > 0
 
             def resolve():
-                free = jnp.where(binds, jnp.zeros((), dt), jnp.ones((), dt))
                 dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
                 f_shift = fcur - op.matvec(dx_a)
-                dgn2, it2 = solve_gn(operators.masked(op, free), f_shift)
-                dx2 = free * dgn2
+                # Freeze-damped solve (same scheme as LM): huge damping
+                # pins the binding coordinates, a scale-relative epsilon on
+                # the free ones keeps the system full-rank without a
+                # column-masked (singular-by-construction) factorization.
+                freeze = jnp.minimum(
+                    1e10 * (jnp.mean(dtd) + 1.0),
+                    jnp.asarray(jnp.finfo(dt).max, dt) / 16,
+                )
+                damp_mask = jnp.where(
+                    binds, jnp.asarray(freeze, dt), jnp.finfo(dt).eps * dtd
+                )
+                dgn2, it2 = solve_damped(op, f_shift, damp_mask)
+                dx2 = jnp.where(binds, jnp.zeros_like(dx), dgn2)
                 wn = wnorm(dx_a + dx2, dtd)
                 scale = jnp.minimum(
                     jnp.ones((), dt), delta / jnp.maximum(wn, 1e-30)
@@ -224,7 +234,7 @@ def optimize_loop(
                 refined = clip_step_to_bounds(
                     dx_a + scale * dx2, x, lower, upper
                 )
-                return refined, it2 + 2  # + shift matvec + masked solve ops
+                return refined, it2 + 1  # + the shift matvec
 
             dx, extra_mul = jax.lax.cond(
                 jnp.any(binds),

@@ -30,29 +30,44 @@ def _final_jacobian(result):
     return np.asarray(J)
 
 
-def covariance(result, m: int | None = None) -> np.ndarray:
+def covariance(result, m: int | None = None, problem=None) -> np.ndarray:
     """Gauss-Newton parameter covariance s^2 (J'J)^{-1} at the minimizer.
 
     ``m`` overrides the residual count (defaults to the Jacobian's row
-    count). Uses a pseudo-inverse when J'J is singular; the variance of
-    unidentifiable directions comes out of the pseudo-inverse's null-space
-    handling (finite but meaningless — check the rank warning case).
+    count). ``problem`` (optional LeastSquaresProblem) re-linearizes at
+    ``result.minimizer``; without it the solver's carried Jacobian is used,
+    which was evaluated at the last *accepted linearization point* — one
+    accepted step before the minimizer (negligible at tight tolerances,
+    stale when the solve stopped on the iteration cap).
+
+    Rank deficiency is detected via the eigendecomposition (np.linalg.inv
+    silently returns garbage on numerically singular grams): unidentifiable
+    directions get **infinite variance** rather than a fake finite one.
     """
-    J = _final_jacobian(result)
+    if problem is not None:
+        import jax.numpy as jnp
+
+        J = problem.jac_fn(jnp.asarray(result.minimizer))
+        if hasattr(J, "todense"):
+            J = J.todense()
+        J = np.asarray(J)
+    else:
+        J = _final_jacobian(result)
     rows, n = J.shape
     if m is None:
         m = rows
     dof = max(m - n, 1)
     s2 = result.ssr / dof
     gram = J.T @ J
-    try:
-        cov = np.linalg.inv(gram)
-    except np.linalg.LinAlgError:
-        cov = np.linalg.pinv(gram)
-    return s2 * cov
+    w, V = np.linalg.eigh(gram)
+    tol = np.max(np.abs(w)) * n * np.finfo(gram.dtype).eps
+    inv_w = np.where(w > tol, 1.0 / np.where(w > tol, w, 1.0), np.inf)
+    return s2 * (V * inv_w[None, :]) @ V.T
 
 
-def standard_errors(result, m: int | None = None) -> np.ndarray:
-    """Per-parameter standard errors: sqrt(diag(covariance))."""
-    d = np.diag(covariance(result, m=m))
+def standard_errors(result, m: int | None = None, problem=None) -> np.ndarray:
+    """Per-parameter standard errors: sqrt(diag(covariance)).
+
+    Unidentifiable parameters come back as ``inf`` (see covariance)."""
+    d = np.diag(covariance(result, m=m, problem=problem))
     return np.sqrt(np.maximum(d, 0.0))
