@@ -50,6 +50,17 @@ def solve_batch(
             "solves; store_trace works — each problem gets its own "
             "fixed-size trace buffer in the result"
         )
+    if optimizer is None and materialize_jacobian:
+        # Batched default diverges from the single-solve default (QR,
+        # reference src/types.jl:120): XLA's batched QR kernel exhausts
+        # scoped VMEM outright at large batch sizes (fails to compile at
+        # B=50k, m=64, n=2 on v5e) and batched LAPACK-style kernels are
+        # ~20x slower at tiny n regardless; the normal-equations route with
+        # the VPU-unrolled small-n solve is the batched-safe path.
+        from .optimizer.base import Dogleg
+        from .solver.base import Cholesky
+
+        optimizer = Dogleg(Cholesky())
     x0_batch = jnp.asarray(x0_batch)
 
     def single(x0, data):
