@@ -99,10 +99,13 @@ def robustify(
         # with NaN gradients, f32 threshold ~1.8e19). Clamp *before*
         # squaring so both the primal and its JVP tangent stay finite —
         # gross outliers saturate (zero gradient), which is exactly the
-        # robust-loss intent.
+        # robust-loss intent. The returned residual must be built from the
+        # *clamped* value too: using raw ``r`` would grow linearly past the
+        # cap (constant nonzero gradient) and silently deviate from
+        # f_scale^2 rho((r/f_scale)^2).
         cap = jnp.sqrt(jnp.asarray(jnp.finfo(scaled.dtype).max, scaled.dtype)) / 4
         scaled = jnp.clip(scaled, -cap, cap)
         z = scaled * scaled
-        return r * jnp.sqrt(ratio(z))
+        return f_scale * scaled * jnp.sqrt(ratio(z))
 
     return robust_residual

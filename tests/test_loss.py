@@ -37,6 +37,31 @@ def test_transform_objective_identity(name):
     assert np.all(np.isfinite(np.asarray(gradable)))
 
 
+@pytest.mark.parametrize("name", ["huber", "soft_l1", "cauchy", "arctan"])
+def test_overflow_clamp_saturates(name):
+    """Beyond the overflow cap the transformed residual saturates at a
+    constant (the clamped value), so gross outliers have zero gradient, and
+    below the cap the objective equals f_scale^2 rho((r/f_scale)^2)."""
+    fs = 0.5
+    wrapped = robustify(lambda x: x, name, f_scale=fs)
+    cap = float(np.sqrt(np.finfo(np.float64).max)) / 4  # ~3.35e153
+
+    # Identity holds right up to the cap (incl. |r/f_scale| ~ 1e25).
+    below = jnp.array([1.0, fs * 1e25, 1e50, cap * fs * 0.99])
+    out = wrapped(below)
+    z = (np.asarray(below) / fs) ** 2
+    assert np.allclose(np.asarray(out) ** 2, fs**2 * _rho(name, z), rtol=1e-10)
+
+    # Beyond the cap: finite, saturated at the cap's value, gradient zero.
+    above = jnp.array([fs * cap * 1.5, 1e200, 1e250])
+    out_above = wrapped(above)
+    assert np.all(np.isfinite(np.asarray(out_above)))
+    sat = fs * cap * np.sqrt(float(LOSSES[name](jnp.asarray(cap * cap))))
+    assert np.allclose(np.asarray(out_above), sat, rtol=1e-10)
+    g = jax.jacfwd(wrapped)(above)
+    assert np.all(np.asarray(g) == 0.0)
+
+
 def test_robust_fit_resists_outliers():
     """A contaminated linear fit: soft_l1 recovers the true slope where
     plain least squares is dragged by the outliers."""
