@@ -32,6 +32,7 @@ def solve_batch(
     materialize_jacobian: bool = True,
     lower=None,
     upper=None,
+    data_axis: Optional[int] = 0,
 ):
     """Solve a batch of independent fits sharing one residual function.
 
@@ -39,6 +40,11 @@ def solve_batch(
     ``f(x, data) -> r`` with ``data_batch`` a pytree whose leaves have a
     leading batch axis matching ``x0_batch.shape[0]``. Residual length must
     be batch-uniform (static shapes).
+
+    ``data_axis=None`` marks ``data_batch`` as *shared* across the batch
+    (vmap in_axes=None): the data is passed as a runtime argument instead of
+    a closure constant, so large shared datasets are neither baked into the
+    HLO nor recompiled per dataset.
 
     Returns the raw result pytree with a leading batch axis on every leaf.
     Wrap the call in ``jax.jit`` for repeated use.
@@ -78,4 +84,4 @@ def solve_batch(
 
     if data_batch is None:
         return jax.vmap(lambda x0: single(x0, None))(x0_batch)
-    return jax.vmap(single)(x0_batch, data_batch)
+    return jax.vmap(single, in_axes=(0, data_axis))(x0_batch, data_batch)

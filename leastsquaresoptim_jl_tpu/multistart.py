@@ -62,17 +62,13 @@ def optimize_multistart(
     starts = jnp.asarray(starts)
     S = starts.shape[0]
 
-    if data is None:
-        fb = f
-        data_b = None
-    else:
-        fb = lambda x, _unused: f(x, data)
-        data_b = jnp.zeros((S, 1), starts.dtype)  # dummy batch leaf
-
+    # Shared data rides as a broadcast (in_axes=None) runtime argument, not
+    # a closure constant: large datasets aren't baked into the HLO, and a
+    # new dataset of the same shape reuses the compiled kernel.
     raw = solve_batch(
-        fb,
+        f,
         starts,
-        data_b,
+        data,
         optimizer,
         options=options,
         output_length=output_length,
@@ -80,6 +76,7 @@ def optimize_multistart(
         upper=upper,
         materialize_jacobian=materialize_jacobian,
         autodiff=autodiff,
+        data_axis=None,
     )
 
     ssr = np.asarray(raw["ssr"])

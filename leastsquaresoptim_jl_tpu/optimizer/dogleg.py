@@ -227,9 +227,16 @@ def optimize_loop(
                 )
                 dgn2, it2 = solve_damped(op, f_shift, damp_mask)
                 dx2 = jnp.where(binds, jnp.zeros_like(dx), dgn2)
-                wn = wnorm(dx_a + dx2, dtd)
+                # Scale the free part against the *remaining* radius after
+                # the pinned part: scaling by delta/wnorm(dx_a + dx2) would
+                # leave the combined step up to ~2*delta (the pinned dx_a is
+                # not scaled). Triangle inequality then guarantees
+                # wnorm(dx_a + scale*dx2) <= wnorm(dx_a) + remaining <= delta
+                # whenever dx_a itself fits in the trust region.
+                remaining = jnp.maximum(delta - wnorm(dx_a, dtd), 0.0)
                 scale = jnp.minimum(
-                    jnp.ones((), dt), delta / jnp.maximum(wn, 1e-30)
+                    jnp.ones((), dt),
+                    remaining / jnp.maximum(wnorm(dx2, dtd), 1e-30),
                 )
                 refined = clip_step_to_bounds(
                     dx_a + scale * dx2, x, lower, upper

@@ -21,17 +21,25 @@ import jax
 import numpy as np
 
 
+# Top-level dict fields additionally saved under a ``key_<name>`` alias so
+# they can be pulled back without the full tree structure (resume_x0).
+# Restricted to the small resume-relevant fields: aliasing *every* field
+# would double the checkpoint payload (the raw result's large leaves —
+# jacobian, trace — stored twice) just to serve a single minimizer lookup.
+_ALIASED_FIELDS = ("minimizer", "ssr", "iterations")
+
+
 def save_pytree(path: str, tree: Any) -> None:
     """Persist a pytree of arrays (raw result, iterate, options echo).
 
-    Dict keys at the top level are additionally saved under ``key_<name>``
-    so individual fields (e.g. the minimizer) can be pulled back without
-    the full tree structure (:func:`resume_x0`).
+    The resume-relevant top-level dict fields (:data:`_ALIASED_FIELDS`) are
+    additionally saved under ``key_<name>`` for :func:`resume_x0`.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     named = {}
     if isinstance(tree, dict):
-        for k, v in tree.items():
+        for k in _ALIASED_FIELDS:
+            v = tree.get(k)
             if v is None or jax.tree_util.tree_leaves(v) == []:
                 continue
             try:

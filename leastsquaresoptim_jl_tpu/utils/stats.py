@@ -45,9 +45,16 @@ def covariance(result, m: int | None = None, problem=None) -> np.ndarray:
     directions get **infinite variance** rather than a fake finite one.
     """
     if problem is not None:
+        import jax
         import jax.numpy as jnp
+        from jax.flatten_util import ravel_pytree
 
-        J = problem.jac_fn(jnp.asarray(result.minimizer))
+        # optimize_problem returns structured (pytree) minimizers for pytree
+        # parameters, but jac_fn works in the flat vector space: re-ravel.
+        x_flat, _ = ravel_pytree(
+            jax.tree_util.tree_map(jnp.asarray, result.minimizer)
+        )
+        J = problem.jac_fn(x_flat)
         if hasattr(J, "todense"):
             J = J.todense()
         J = np.asarray(J)
@@ -61,8 +68,19 @@ def covariance(result, m: int | None = None, problem=None) -> np.ndarray:
     gram = J.T @ J
     w, V = np.linalg.eigh(gram)
     tol = np.max(np.abs(w)) * n * np.finfo(gram.dtype).eps
-    inv_w = np.where(w > tol, 1.0 / np.where(w > tol, w, 1.0), np.inf)
-    return s2 * (V * inv_w[None, :]) @ V.T
+    null = w <= tol
+    # Pseudo-inverse body (null directions contribute 0, not inf — an
+    # inf eigenvalue would flood every entry with inf/NaN cross-terms,
+    # destroying the identifiable parameters' covariances too).
+    inv_w = np.where(null, 0.0, 1.0 / np.where(null, 1.0, w))
+    cov = s2 * (V * inv_w[None, :]) @ V.T
+    if np.any(null):
+        # Flag unidentifiable parameters: infinite variance on exactly the
+        # coordinates with significant null-space eigenvector mass.
+        proj = (V[:, null] ** 2).sum(axis=1)
+        idx = np.where(proj > n * np.finfo(gram.dtype).eps)[0]
+        cov[idx, idx] = np.inf
+    return cov
 
 
 def standard_errors(result, m: int | None = None, problem=None) -> np.ndarray:

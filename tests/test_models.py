@@ -100,3 +100,54 @@ def test_covariance_and_standard_errors():
     # standard errors should be in the right ballpark of the true sigma-based ones
     se_true = onp.sqrt(onp.diag(sigma**2 * onp.linalg.inv(A.T @ A)))
     assert onp.all(se > 0.5 * se_true) and onp.all(se < 2.0 * se_true)
+
+
+def test_covariance_rank_deficient():
+    """Unidentifiable parameters get infinite variance; identifiable ones
+    keep their finite pseudo-inverse covariance (no inf/NaN flooding)."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.utils import covariance, standard_errors
+
+    m = 50
+    x = onp.linspace(0.0, 1.0, m)
+    y = 2.0 * x + 0.5
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    # beta[1] and beta[2] enter only through their sum -> J rank 2 of 3.
+    def f(beta):
+        return yj - (beta[0] * xj + beta[1] + beta[2])
+
+    r = lso.optimize(f, jnp.zeros(3), lso.LevenbergMarquardt(lso.LSMR()),
+                     materialize_jacobian=True)
+    cov = covariance(r)
+    assert onp.isfinite(cov[0, 0])  # slope is identifiable
+    assert onp.isinf(cov[1, 1]) and onp.isinf(cov[2, 2])
+    assert not onp.any(onp.isnan(cov))
+    se = standard_errors(r)
+    assert onp.isfinite(se[0]) and onp.isinf(se[1]) and onp.isinf(se[2])
+    # identifiable-direction variance matches the pseudo-inverse reference
+    A = onp.stack([x, onp.ones(m), onp.ones(m)], axis=1)
+    cov_ref = (r.ssr / (m - 3)) * onp.linalg.pinv(A.T @ A)
+    assert onp.allclose(cov[0, 0], cov_ref[0, 0], rtol=1e-5)
+
+
+def test_covariance_pytree_minimizer():
+    """covariance(result, problem=...) re-ravels structured minimizers."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.utils import covariance
+
+    x = jnp.linspace(0.0, 1.0, 40)
+    y = 2.0 * x - 1.0
+
+    def f(p):
+        return y - (p["slope"][0] * x + p["intercept"][0])
+
+    prob = lso.least_squares_problem(
+        f=f, x={"slope": jnp.zeros(1), "intercept": jnp.zeros(1)}
+    )
+    r = lso.optimize_problem(prob)
+    assert isinstance(r.minimizer, dict)
+    cov = covariance(r, problem=prob)
+    assert cov.shape == (2, 2) and onp.all(onp.isfinite(cov))
