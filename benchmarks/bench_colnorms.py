@@ -1,0 +1,99 @@
+"""Hutchinson vs exact column norms: the convergence cost at scale.
+
+The matrix-free path estimates diag(J'J) with 8 fixed Rademacher probes
+when n > 32 (ops/operators.py) — the estimate feeds the LM damping diagonal
+and the Jacobi preconditioner, silently changing both on exactly the large
+problems (VERDICT round 1, missing #3). The reference computes exact column
+norms always (colsumabs2!, /root/reference/src/utils/utils.jl:139-161) —
+cheap there because it holds the matrix; matrix-free exact costs n JVPs.
+
+This bench runs the 1M-residual / 10k-parameter sparse-structure LM(LSMR)
+solve twice — Hutchinson default vs user-exact colnorms (the
+matrix_free_problem hook) — to convergence, and reports the work delta.
+
+Prints one JSON line:
+  metric = extra LM iterations the estimator costs (negative = it helped)
+  vs_baseline = ratio of total matvecs (estimate / exact).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import leastsquaresoptim_jl_tpu as lso
+
+    m, n = 1_000_000, 10_000
+    k = m // n  # residuals per parameter block
+    dtype = jnp.float32
+
+    # Block-structured exponential model: parameter j controls residual
+    # block j (k rows). Column norms are exact and cheap:
+    # ||col_j||^2 = sum_i (a_ij * exp(-x_j t_i))^2 over block rows.
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.uniform(0.1, 2.0, size=(n, k)), dtype)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, size=(n, k)), dtype)
+    x_true = jnp.asarray(rng.uniform(0.5, 1.5, size=n), dtype)
+    y = a * jnp.exp(-x_true[:, None] * t)
+
+    def residual(x):
+        return (a * jnp.exp(-x[:, None] * t) - y).ravel()
+
+    def colnorms(x):
+        dcol = -t * a * jnp.exp(-x[:, None] * t)  # d r_block / d x_j
+        return jnp.sum(dcol * dcol, axis=1)
+
+    x0 = jnp.ones((n,), dtype)
+    opts = lso.Options(iterations=60)
+
+    p_est = lso.least_squares_problem(
+        f=residual, x=x0, output_length=m, materialize_jacobian=False
+    )
+    p_exact = lso.matrix_free_problem(
+        f=residual, x=x0, output_length=m, colnorms=colnorms
+    )
+
+    out = {}
+    for name, p in (("hutchinson", p_est), ("exact", p_exact)):
+        run = jax.jit(lambda x0, p=p: lso.solve(p, options=opts, x0=x0))
+        r = run(x0)  # compile + run
+        jax.block_until_ready(r["ssr"])
+        t0 = time.perf_counter()
+        r = run(x0 * 1.0001)
+        its = int(np.asarray(r["iterations"]))
+        wall = time.perf_counter() - t0
+        out[name] = dict(
+            iterations=its,
+            mul_calls=int(np.asarray(r["mul_calls"])),
+            ssr=float(np.asarray(r["ssr"])),
+            converged=bool(np.asarray(r["converged"])),
+            wall_s=round(wall, 2),
+        )
+
+    extra_iters = out["hutchinson"]["iterations"] - out["exact"]["iterations"]
+    mvp_ratio = out["hutchinson"]["mul_calls"] / max(out["exact"]["mul_calls"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "hutchinson_colnorms_extra_lm_iterations",
+                "value": extra_iters,
+                "unit": (
+                    f"LM iterations vs exact colnorms (m=1M, n=10k, f32; "
+                    f"exact={out['exact']['iterations']} its/"
+                    f"{out['exact']['mul_calls']} mvps conv={out['exact']['converged']}, "
+                    f"hutch={out['hutchinson']['iterations']} its/"
+                    f"{out['hutchinson']['mul_calls']} mvps conv={out['hutchinson']['converged']})"
+                ),
+                "vs_baseline": round(mvp_ratio, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

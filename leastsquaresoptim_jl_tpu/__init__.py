@@ -20,12 +20,16 @@ Public surface is a superset of the reference exports
 line-by-line mapping.
 """
 
-from .api import optimize, optimize_problem, solve
+from .api import optimize, optimize_problem, polish, solve
 from .batch import solve_batch
 from .optimizer.base import Dogleg, LevenbergMarquardt
 from .optimizer.common import Options
 from .ops.sparse import sparse_jacobian
-from .problem import LeastSquaresProblem, least_squares_problem
+from .problem import (
+    LeastSquaresProblem,
+    least_squares_problem,
+    matrix_free_problem,
+)
 from .result import (
     IsFiniteError,
     LeastSquaresResult,
@@ -43,11 +47,13 @@ __version__ = "0.1.0"
 
 __all__ = [
     "optimize",
+    "polish",
     "optimize_problem",
     "solve",
     "solve_batch",
     "LeastSquaresProblem",
     "least_squares_problem",
+    "matrix_free_problem",
     "LeastSquaresResult",
     "OptimizationState",
     "OptimizationTrace",

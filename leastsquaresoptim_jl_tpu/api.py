@@ -30,7 +30,7 @@ from .optimizer.common import Options, validate_bounds
 from .problem import LeastSquaresProblem, least_squares_problem
 from .result import LeastSquaresResult, result_from_raw
 
-__all__ = ["solve", "optimize", "optimize_problem"]
+__all__ = ["solve", "optimize", "optimize_problem", "polish"]
 
 
 def solve(
@@ -89,9 +89,9 @@ def optimize_problem(
     problem: LeastSquaresProblem,
     optimizer: Optional[AbstractOptimizer] = None,
     *,
-    x_tol: float = 1e-8,
-    f_tol: float = 1e-8,
-    g_tol: float = 1e-8,
+    x_tol: Optional[float] = None,
+    f_tol: Optional[float] = None,
+    g_tol: Optional[float] = None,
     iterations: int = 1000,
     radius: Optional[float] = None,
     lower=None,
@@ -108,7 +108,16 @@ def optimize_problem(
     semantics (``optimize!`` mutates ``nls.x`` in place, src/types.jl:189):
     pass a previous result's minimizer (or ``utils.checkpoint.resume_x0``)
     to continue a solve.
+
+    Tolerances of None pick dtype-scaled defaults: 1e-8 in f64 (reference
+    parity, src/types.jl:196-199), noise-floor-scaled values in f32 so
+    on-chip solves converge by criterion (config.default_tolerances).
     """
+    from .optimizer.common import resolve_tolerances
+
+    x_tol, f_tol, g_tol = resolve_tolerances(
+        Options(x_tol=x_tol, f_tol=f_tol, g_tol=g_tol), problem.x0.dtype
+    )
     opts = Options(
         x_tol=x_tol,
         f_tol=f_tol,
@@ -199,3 +208,30 @@ def optimize(
         materialize_jacobian=materialize_jacobian,
     )
     return optimize_problem(problem, optimizer, **kwargs)
+
+
+def polish(f, x, optimizer=None, **kwargs) -> LeastSquaresResult:
+    """Refine a minimizer in float64 — the mixed-precision finish.
+
+    The TPU-native precision strategy for certified-accuracy fits: run the
+    bulk solve in f32 (MXU speed, dtype-scaled tolerances), then hand the
+    f32 minimizer to a short f64 refinement. f64 on TPU is software-emulated
+    and slow per FLOP, but the polish starts at an already-converged point
+    and runs few iterations on a small system, so it is latency-dominated.
+    The reference needs no such stage because it is f64 everywhere
+    (/root/reference/src — pure Julia Float64); this is the on-chip
+    equivalent of its BigFloat genericity axis (test/nonlinearsolvers.jl:631).
+
+    ``f`` must compute in f64 when given f64 inputs (avoid closing over f32
+    data arrays — their casts to f64 carry only f32 information). Requires
+    ``jax.config.jax_enable_x64``. Accepts every ``optimize`` kwarg.
+    """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "polish runs in float64: enable it first with "
+            "jax.config.update('jax_enable_x64', True)"
+        )
+    x64 = jax.tree_util.tree_map(
+        lambda leaf: jnp.asarray(leaf, jnp.float64), x
+    )
+    return optimize(f, x64, optimizer, **kwargs)

@@ -25,11 +25,38 @@ INCREASE_THRESHOLD = 0.75
 GOOD_STEP_QUALITY = 0.75
 
 # Default convergence tolerances and iteration cap
-# (reference: src/types.jl:196-199).
+# (reference: src/types.jl:196-199). These are the f64 values — the
+# reference runs in Float64 everywhere, so 1e-8 is meaningful there.
 DEFAULT_X_TOL = 1e-8
 DEFAULT_F_TOL = 1e-8
 DEFAULT_G_TOL = 1e-8
 DEFAULT_ITERATIONS = 1000
+
+# f32 dtype-scaled tolerance defaults (the TPU perf surface). The f-criterion
+# compares the per-step reduction against f_tol * ssr: even with the
+# cancellation-free diff-of-squares reduction (optimizer/*.py), each residual
+# carries ~eps_f32 = 1.19e-7 relative rounding from its own evaluation, so
+# the measured reduction has a noise floor of a few eps * ssr — an f64-scaled
+# 1e-8 threshold can never fire and the loop runs to the iteration cap
+# (docs/ROADMAP.md round-1 item 2). Floors chosen a small multiple above
+# that noise floor; x/g floors likewise sit near sqrt(eps_f32) ~ 3.5e-4
+# scaled down by the typical accuracy slack the NIST 1e-3 criterion needs.
+F32_X_TOL = 1e-6
+F32_F_TOL = 1e-6
+F32_G_TOL = 1e-5
+
+
+def default_tolerances(dtype):
+    """(x_tol, f_tol, g_tol) defaults for ``dtype``.
+
+    f64 keeps the reference's 1e-8 (parity); f32 gets noise-floor-scaled
+    values so on-chip solves converge by criterion, not iteration cap.
+    """
+    import numpy as _np
+
+    if _np.finfo(dtype).bits >= 64:
+        return DEFAULT_X_TOL, DEFAULT_F_TOL, DEFAULT_G_TOL
+    return F32_X_TOL, F32_F_TOL, F32_G_TOL
 
 # Default initial trust-region radii
 # (reference: levenberg_marquardt.jl:42, dogleg.jl:44).

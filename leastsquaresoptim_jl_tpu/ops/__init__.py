@@ -10,7 +10,13 @@ from .linalg import (
     wnorm,
 )
 from .lsmr_core import LSMRStats, lsmr
-from .operators import JacobianOperator, from_linearization, from_matrix
+from .operators import (
+    JacobianOperator,
+    for_problem,
+    from_linearization,
+    from_matrix,
+    from_user,
+)
 from .sparse import colsumabs2_bcoo, sparse_jacobian
 
 __all__ = [
@@ -27,5 +33,7 @@ __all__ = [
     "LSMRStats",
     "JacobianOperator",
     "from_matrix",
+    "for_problem",
     "from_linearization",
+    "from_user",
 ]

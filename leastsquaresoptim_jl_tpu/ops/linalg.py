@@ -58,11 +58,12 @@ def clip_step_to_bounds(dx, x, lower, upper):
 UNROLLED_SOLVE_MAX_N = 8
 
 
-def unrolled_chol_solve(gram, rhs):
+def unrolled_chol_solve_with_diag(gram, rhs):
     """Cholesky solve of an SPD system, fully unrolled over the (static,
-    small) parameter dimension. Batched-safe: every intermediate is a
-    (...,)-shaped scalar slice, so under vmap this is pure VPU work with no
-    batched-linalg kernels."""
+    small) parameter dimension; also returns diag(L) for conditioning
+    checks. Batched-safe: every intermediate is a (...,)-shaped scalar
+    slice, so under vmap this is pure VPU work with no batched-linalg
+    kernels."""
     n = gram.shape[-1]
     L = [[None] * n for _ in range(n)]
     for i in range(n):
@@ -86,7 +87,12 @@ def unrolled_chol_solve(gram, rhs):
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return jnp.stack(x, axis=-1)
+    return jnp.stack(x, axis=-1), jnp.stack([L[i][i] for i in range(n)], axis=-1)
+
+
+def unrolled_chol_solve(gram, rhs):
+    """unrolled_chol_solve_with_diag without the diagnostic diagonal."""
+    return unrolled_chol_solve_with_diag(gram, rhs)[0]
 
 
 def maxabs_projected_gradient(g, x, lower, upper):

@@ -88,6 +88,30 @@ _HUTCHINSON_PROBES = 8
 _EXACT_COLNORMS_MAX_N = 32
 
 
+def _default_colnorms2(jvp_fn, rmatvec, m: int, n: int, dtype):
+    """diag(J'J) for a matrix-free operator: exact (n vmapped JVPs) in the
+    small-n regime, Hutchinson-estimated beyond. Users with structure should
+    supply exact column norms instead (problem.colnorms_fn) — the estimate
+    perturbs the LM damping metric and Jacobi preconditioner (measured cost:
+    benchmarks/bench_colnorms.py)."""
+    if n <= _EXACT_COLNORMS_MAX_N:
+        def colnorms2():
+            eye = jnp.eye(n, dtype=dtype)
+            cols = jax.vmap(jvp_fn)(eye)  # (n, m)
+            return jnp.sum(cols * cols, axis=1)
+    else:
+        def colnorms2():
+            # Hutchinson diagonal estimate of J'J with fixed Rademacher
+            # probes: E[(J'z)_i^2] = (J'J)_ii.
+            key = jax.random.PRNGKey(0)
+            z = jax.random.rademacher(
+                key, (_HUTCHINSON_PROBES, m), dtype=dtype
+            )
+            cols = jax.vmap(rmatvec)(z)  # (k, n)
+            return jnp.mean(cols * cols, axis=0) * 1.0
+    return colnorms2
+
+
 def from_linearization(
     residual_fn: Callable,
     x_lin: jnp.ndarray,
@@ -112,23 +136,46 @@ def from_linearization(
 
     if colnorms_fn is not None:
         colnorms2 = lambda: colnorms_fn(x_lin)
-    elif n <= _EXACT_COLNORMS_MAX_N:
-        def colnorms2():
-            # Exact diag(J'J): colnorms2[j] = ||J e_j||^2, n JVPs vmapped
-            # into one batched evaluation.
-            eye = jnp.eye(n, dtype=x_lin.dtype)
-            cols = jax.vmap(jvp_fn)(eye)  # (n, m)
-            return jnp.sum(cols * cols, axis=1)
     else:
-        def colnorms2():
-            # Hutchinson diagonal estimate of J'J with fixed Rademacher probes.
-            key = jax.random.PRNGKey(0)
-            z = jax.random.rademacher(
-                key, (_HUTCHINSON_PROBES, m), dtype=x_lin.dtype
-            )
-            cols = jax.vmap(rmatvec)(z)  # (k, n)
-            return jnp.mean(cols * cols, axis=0) * 1.0
+        colnorms2 = _default_colnorms2(jvp_fn, rmatvec, m, n, x_lin.dtype)
 
     return JacobianOperator(
         matvec=jvp_fn, rmatvec=rmatvec, colnorms2=colnorms2, m=m, n=n, J=None
+    )
+
+
+def from_user(
+    jvp_fn: Callable,
+    vjp_fn: Callable,
+    colnorms_fn: Optional[Callable],
+    x_lin: jnp.ndarray,
+    m: int,
+) -> JacobianOperator:
+    """Operator from user-supplied closures (problem.matrix_free_problem) —
+    the reference's custom operator types (src/utils/lsmr.jl:24-44): each
+    matvec/rmatvec runs exactly the user's structure-exploiting code."""
+    n = int(x_lin.shape[0])
+    matvec = lambda v: jvp_fn(x_lin, v)
+    rmatvec = lambda u: vjp_fn(x_lin, u)
+    if colnorms_fn is not None:
+        colnorms2 = lambda: colnorms_fn(x_lin)
+    else:
+        colnorms2 = _default_colnorms2(matvec, rmatvec, m, n, x_lin.dtype)
+    return JacobianOperator(
+        matvec=matvec, rmatvec=rmatvec, colnorms2=colnorms2, m=m, n=n, J=None
+    )
+
+
+def for_problem(problem, x_lin) -> JacobianOperator:
+    """Operator at linearization point ``x_lin`` honoring the problem's
+    user hooks: user jvp/vjp when given, AD linearization otherwise; user
+    colnorms override the exact/Hutchinson default either way."""
+    if getattr(problem, "jvp_fn", None) is not None:
+        return from_user(
+            problem.jvp_fn, problem.vjp_fn, problem.colnorms_fn,
+            x_lin, problem.m,
+        )
+    return from_linearization(
+        problem.residual_fn, x_lin, problem.m,
+        colnorms_fn=getattr(problem, "colnorms_fn", None),
     )

@@ -30,11 +30,14 @@ class Options:
     loop as constants, keeping every iteration branch-free and host-sync-free).
     ``radius`` is the initial trust-region radius Δ; None picks the
     optimizer-specific default (10.0 LM / 1.0 Dogleg, rescaled at iter 1).
+    ``x_tol``/``f_tol``/``g_tol`` of None pick dtype-scaled defaults at loop
+    entry (1e-8 in f64 for reference parity; noise-floor-scaled values in
+    f32 — see config.default_tolerances).
     """
 
-    x_tol: float = config.DEFAULT_X_TOL
-    f_tol: float = config.DEFAULT_F_TOL
-    g_tol: float = config.DEFAULT_G_TOL
+    x_tol: Optional[float] = None
+    f_tol: Optional[float] = None
+    g_tol: Optional[float] = None
     iterations: int = config.DEFAULT_ITERATIONS
     radius: Optional[float] = None
     store_trace: bool = False
@@ -53,18 +56,31 @@ class ConvergenceFlags(NamedTuple):
     converged: jnp.ndarray
 
 
+def resolve_tolerances(opts: Options, dtype):
+    """Concrete (x_tol, f_tol, g_tol): explicit options win, None falls back
+    to the dtype-scaled defaults (config.default_tolerances)."""
+    dx, df, dg = config.default_tolerances(dtype)
+    return (
+        dx if opts.x_tol is None else opts.x_tol,
+        df if opts.f_tol is None else opts.f_tol,
+        dg if opts.g_tol is None else opts.g_tol,
+    )
+
+
 def assess_convergence(
-    dx, x, maxabs_gr, ssr, trial_ssr, x_tol, f_tol, g_tol, step_accepted
+    dx, x, maxabs_gr, ssr, ared, x_tol, f_tol, g_tol, step_accepted
 ) -> ConvergenceFlags:
     """Priority-ordered convergence triple (reference: src/utils/utils.jl:7-31).
 
-    The objective-change (f) criterion only fires on accepted steps: on a
-    rejected step trial_ssr ≈ ssr signals a poor local model, not convergence
-    (reference :22). x- and g-criteria are fallbacks in that order.
+    ``ared`` is the actual objective reduction ssr - trial_ssr, computed
+    cancellation-free by the callers as sum((f - ft)(f + ft)) — in f32 the
+    subtraction of two O(ssr) sums would drown the signal in rounding noise
+    long before the f-criterion could fire. The objective-change (f)
+    criterion only fires on accepted steps: on a rejected step ared ≈ 0
+    signals a poor local model, not convergence (reference :22). x- and
+    g-criteria are fallbacks in that order.
     """
-    f_conv = step_accepted & (
-        jnp.abs(trial_ssr - ssr) <= f_tol * (jnp.abs(ssr) + f_tol)
-    )
+    f_conv = step_accepted & (jnp.abs(ared) <= f_tol * (jnp.abs(ssr) + f_tol))
     x_conv = (~f_conv) & (jnp.max(jnp.abs(dx)) <= x_tol)
     g_conv = (~f_conv) & (~x_conv) & (maxabs_gr <= g_tol)
     return ConvergenceFlags(x_conv, f_conv, g_conv, x_conv | f_conv | g_conv)

@@ -43,6 +43,7 @@ from .common import (
     Options,
     assess_convergence,
     init_trace,
+    resolve_tolerances,
     update_trace,
 )
 
@@ -64,6 +65,7 @@ def optimize_loop(
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
+    x_tol, f_tol, g_tol = resolve_tolerances(opts, dt)
     radius0 = (
         opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_DOGLEG
     )
@@ -133,7 +135,7 @@ def optimize_loop(
             op = operators.from_matrix(jstate)
         else:
             jstate = jnp.where(c["reuse"], c["jstate"], x)
-            op = operators.from_linearization(residual_fn, jstate, m)
+            op = operators.for_problem(problem, jstate)
 
         def expensive():
             # Reference :85-117: dtd, first-iter Δ rescale, gradient + KKT,
@@ -249,24 +251,27 @@ def optimize_loop(
                 lambda: (dx_clipped, jnp.int32(0)),
             )
             mul_calls = mul_calls + extra_mul
+        # Cancellation-free reductions (see levenberg_marquardt.py): the
+        # naive ssr - trial_ssr loses all significant digits in f32 once the
+        # per-step reduction drops below eps * ssr.
         x_trial = x - dx
         ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1
         trial_ssr = sumabs2(ftrial)
-        fpredict = op.matvec(dx) - fcur
+        ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
+        jdx = op.matvec(dx)
         mul_calls = mul_calls + 1
-        predicted_ssr = sumabs2(fpredict)
-        predicted_reduction = jnp.abs(ssr - predicted_ssr)
+        predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         rho = jnp.where(
             predicted_reduction > 0,
-            (ssr - trial_ssr) / predicted_reduction,
+            ared / predicted_reduction,
             jnp.zeros((), dt),
         )
 
         accepted = rho >= config.MIN_STEP_QUALITY
         flags = assess_convergence(
-            dx, x_trial, maxabs_gr, ssr, trial_ssr,
-            opts.x_tol, opts.f_tol, opts.g_tol, accepted,
+            dx, x_trial, maxabs_gr, ssr, ared,
+            x_tol, f_tol, g_tol, accepted,
         )
 
         # Trust-region update (reference :193-197) applies on accept or reject.

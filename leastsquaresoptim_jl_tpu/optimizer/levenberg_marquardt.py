@@ -27,6 +27,7 @@ from .common import (
     Options,
     assess_convergence,
     init_trace,
+    resolve_tolerances,
     update_trace,
 )
 
@@ -52,6 +53,7 @@ def optimize_loop(
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
+    x_tol, f_tol, g_tol = resolve_tolerances(opts, dt)
     radius0 = opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_LM
 
     fcur = residual_fn(x)
@@ -119,7 +121,7 @@ def optimize_loop(
                 op = operators.from_matrix(jstate)
             else:
                 jstate = jnp.where(c["need_jacobian"], x, c["jstate"])
-                op = operators.from_linearization(residual_fn, jstate, m)
+                op = operators.for_problem(problem, jstate)
         g_calls = c["g_calls"] + c["need_jacobian"].astype(jnp.int32)
 
         # Scale-invariant damping diagonal (reference :82-86).
@@ -180,25 +182,32 @@ def optimize_loop(
         mul_calls = mul_calls + 1
         maxabs_gr = maxabs_projected_gradient(g, x, lower, upper)
 
-        # Trial point and gain ratio (reference :106-119).
+        # Trial point and gain ratio (reference :106-119). Both reductions
+        # are computed in cancellation-free diff-of-squares form: the naive
+        # ssr - trial_ssr subtracts two O(ssr) sums and loses every
+        # significant digit once the per-step reduction drops below
+        # eps * ssr — in f32 that poisons rho near the optimum (random
+        # accept/reject churn to the iteration cap). Identities:
+        #   ssr - ||ft||^2        = sum((f - ft)(f + ft))
+        #   ssr - ||J dx - f||^2  = sum((J dx)(2f - J dx))
         x_trial = x - dx
         ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1
         trial_ssr = sumabs2(ftrial)
-        fpredict = op.matvec(dx) - fcur
+        ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
+        jdx = op.matvec(dx)
         mul_calls = mul_calls + 1
-        predicted_ssr = sumabs2(fpredict)
-        predicted_reduction = jnp.abs(ssr - predicted_ssr)
+        predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         rho = jnp.where(
             predicted_reduction > 0,
-            (ssr - trial_ssr) / predicted_reduction,
+            ared / predicted_reduction,
             jnp.zeros((), dt),
         )
 
         accepted = rho > config.MIN_STEP_QUALITY
         flags = assess_convergence(
-            dx, x_trial, maxabs_gr, ssr, trial_ssr,
-            opts.x_tol, opts.f_tol, opts.g_tol, accepted,
+            dx, x_trial, maxabs_gr, ssr, ared,
+            x_tol, f_tol, g_tol, accepted,
         )
 
         # Accept: Ceres-style radius growth (reference :126-132).

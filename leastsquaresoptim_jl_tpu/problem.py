@@ -107,6 +107,17 @@ class LeastSquaresProblem:
     # Set when the user's parameters are a pytree: maps the flat solver
     # vector back to the original structure (jax.flatten_util.ravel_pytree).
     unravel: Optional[Callable] = None
+    # User-defined matrix-free operator hooks (the reference's duck-typed
+    # mul!/mul!(A',...) extension point, src/utils/lsmr.jl:24-44,
+    # README.md:37-47): jvp_fn(x, v) -> J(x) v, vjp_fn(x, u) -> J(x)' u,
+    # colnorms_fn(x) -> diag(J(x)'J(x)). When jvp_fn/vjp_fn are set the
+    # solvers never call jax.linearize — structure-exploiting Jacobians run
+    # exactly the user's code. colnorms_fn alone upgrades the AD matrix-free
+    # path from the Hutchinson estimate to user-exact column norms (the
+    # reference's colsumabs2! contract, src/utils/utils.jl:139-161).
+    jvp_fn: Optional[Callable] = None
+    vjp_fn: Optional[Callable] = None
+    colnorms_fn: Optional[Callable] = None
 
     @property
     def n(self) -> int:
@@ -203,4 +214,51 @@ def least_squares_problem(
         materialize_jacobian=materialize_jacobian,
         jacobian_is_sparse=jacobian_is_sparse,
         unravel=unravel,
+    )
+
+
+def matrix_free_problem(
+    f: Callable,
+    x,
+    *,
+    output_length: int,
+    jvp: Optional[Callable] = None,
+    vjp: Optional[Callable] = None,
+    colnorms: Optional[Callable] = None,
+) -> LeastSquaresProblem:
+    """Problem with a user-defined matrix-free Jacobian operator.
+
+    The TPU counterpart of the reference's duck-typed operator protocol —
+    any object with ``mul!(y, A, x)`` / ``mul!(x, A', y)`` / ``size`` /
+    ``eltype`` is a Jacobian there (reference: src/utils/lsmr.jl:24-44,
+    README.md:37-47). Here the user supplies pure closures:
+
+        jvp(x, v) -> J(x) @ v          (shape (m,))
+        vjp(x, u) -> J(x).T @ u        (shape (n,))
+        colnorms(x) -> diag(J'J)(x)    (shape (n,); optional)
+
+    ``jvp`` and ``vjp`` must both be given or both omitted (LSMR needs the
+    pair). When omitted, AD linearization supplies them and ``colnorms``
+    alone upgrades the column-norm estimate (LM damping diagonal + Jacobi
+    preconditioner) from the Hutchinson default to the user's exact values —
+    the reference's colsumabs2! contract (src/utils/utils.jl:139-161).
+    Operator problems are matrix-free: solvers default to LSMR, and the
+    dense QR/Cholesky routes are rejected as in the reference (custom
+    operators exist only on its LSMR path, src/types.jl:121).
+    """
+    if (jvp is None) != (vjp is None):
+        raise ValueError(
+            "jvp and vjp must be supplied together (LSMR's Golub-Kahan "
+            "recurrence uses one of each per iteration)"
+        )
+    base = least_squares_problem(
+        f=f, x=x, output_length=output_length, materialize_jacobian=False
+    )
+    if base.unravel is not None and jvp is not None:
+        raise ValueError(
+            "user operator hooks require flat vector parameters "
+            "(got a pytree x)"
+        )
+    return dataclasses.replace(
+        base, jvp_fn=jvp, vjp_fn=vjp, colnorms_fn=colnorms
     )

@@ -9,8 +9,12 @@ The Gram matrix J'J and rhs J'y come from the fused Pallas Gram kernel
 (ops/gram.py) — the reference's two ``mul!`` BLAS calls fused into one
 HBM pass. The reference uses LAPACK's *pivoted* Cholesky (pstrf) on the
 possibly-singular Gauss-Newton system (reference :33); XLA's Cholesky is
-unpivoted, so a jittered retry (taken via lax.cond only when the plain
-factorization produces non-finite values) covers rank deficiency.
+unpivoted, so a jittered retry (taken via lax.cond) covers rank deficiency.
+The retry triggers on *either* a non-finite solve (exactly singular) or a
+pivot-ratio conditioning check (nearly singular: the unpivoted factorization
+then succeeds but returns a finite garbage step that pivoted pstrf would
+have truncated — min L_ii^2 <= tol * max L_ii^2 is the standard
+rank-tolerance test on Cholesky pivots).
 """
 
 from __future__ import annotations
@@ -20,7 +24,11 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..ops.gram import gram_and_rhs
-from ..ops.linalg import UNROLLED_SOLVE_MAX_N, unrolled_chol_solve
+from ..ops.linalg import (
+    UNROLLED_SOLVE_MAX_N,
+    unrolled_chol_solve,
+    unrolled_chol_solve_with_diag,
+)
 
 
 def _chol_solve(gram, rhs):
@@ -34,17 +42,43 @@ def _chol_solve(gram, rhs):
     return solve_triangular(L.T, z, lower=False)
 
 
+def _chol_solve_with_diag(gram, rhs):
+    """Like _chol_solve but also returns diag(L) for the conditioning check."""
+    if gram.shape[-1] <= UNROLLED_SOLVE_MAX_N:
+        return unrolled_chol_solve_with_diag(gram, rhs)
+    L = jax.scipy.linalg.cholesky(gram, lower=True)
+    z = solve_triangular(L, rhs, lower=True)
+    return solve_triangular(L.T, z, lower=False), jnp.diagonal(L)
+
+
 def _solve_spd(gram, rhs):
-    """Cholesky solve with a jittered fallback for semidefinite systems."""
-    dx = _chol_solve(gram, rhs)
-    ok = jnp.all(jnp.isfinite(dx))
+    """Cholesky solve with a jittered fallback for (near-)semidefinite
+    systems — the unpivoted stand-in for the reference's pivoted pstrf
+    (dense_cholesky.jl:33)."""
+    n = gram.shape[-1]
+    eps = jnp.finfo(gram.dtype).eps
+    d = jnp.diagonal(gram)
+    dx, ldiag = _chol_solve_with_diag(gram, rhs)
+    # Scale-invariant pivot test: L_ii^2 / G_ii is the fraction of the
+    # diagonal surviving elimination (= the pivot of the diagonally
+    # equilibrated matrix). Near-singularity drives it to ~eps for some i;
+    # mere bad column *scaling* (powell_badly_scaled: column norms apart by
+    # 1e8) leaves it O(1), and Cholesky itself is insensitive to diagonal
+    # scaling, so those stay on the fast exact path. The 100x slack keeps
+    # merely-ill-conditioned NIST-class systems exact too.
+    tiny = jnp.asarray(jnp.finfo(gram.dtype).tiny, gram.dtype)
+    survival = (ldiag * ldiag) / jnp.maximum(d, tiny)
+    ok = jnp.all(jnp.isfinite(dx)) & (jnp.min(survival) > 100.0 * n * eps)
 
     def fallback():
-        n = gram.shape[0]
-        diag_mean = jnp.trace(gram) / n
-        eps = jnp.finfo(gram.dtype).eps
-        jitter = jnp.maximum(diag_mean, 1.0) * eps * 100.0
-        return _chol_solve(gram + jitter * jnp.eye(n, dtype=gram.dtype), rhs)
+        # Per-column relative jitter (scaled Tikhonov): truncates directions
+        # below ~sqrt(100 n eps) of their own column scale — the behavior of
+        # pivoted Cholesky's trailing-block truncation — without letting the
+        # large columns' scale swamp the small ones. The additive floor
+        # covers exactly-zero columns.
+        floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
+        jitter = (100.0 * n * eps) * (d + floor)
+        return _chol_solve(gram + jnp.diag(jitter), rhs)
 
     return jax.lax.cond(ok, lambda: dx, fallback)
 

@@ -12,11 +12,15 @@ J'J + diag(d) explicitly.
 
 The reference relies on LAPACK's column-pivoted QR (geqp3,
 ``qr!(.., ColumnNorm())``, reference :37, :83) for rank-deficient J. XLA has
-no pivoted QR, so when the unpivoted triangular solve yields non-finite
-values we fall back (via lax.cond — only one branch executes per call) to a
-jittered normal-equations solve, which returns a bounded near-minimum-norm
-step on singular systems. The damped LM system is always full column rank
-for d > 0 and never takes the fallback.
+no pivoted QR, so the fallback — a jittered normal-equations solve returning
+a bounded near-minimum-norm step — is taken (via lax.cond) when *either*
+the unpivoted triangular solve yields non-finite values (exactly singular R)
+or the R-diagonal ratio flags near-singularity: a nearly-rank-deficient J
+factors without error but its triangular solve returns a finite garbage
+step that pivoted geqp3 would have truncated. The 100x slack on the rank
+tolerance keeps merely-ill-conditioned (NIST-class, cond ~1e10 in f64)
+systems on the fast exact path. The damped LM system is always full column
+rank for d > 0 and never takes the fallback.
 """
 
 from __future__ import annotations
@@ -38,13 +42,17 @@ def _spd_solve(gram, rhs):
 
 
 def _jittered_normal_solve(J, y):
-    """Fallback for rank-deficient J: (J'J + eps*mean(diag)*I) dx = J'y."""
+    """Fallback for (near-)rank-deficient J: scaled-Tikhonov normal
+    equations (J'J + 100 n eps (diag(J'J) + floor)) dx = J'y — truncates
+    directions below ~sqrt(100 n eps) of their own column scale, matching
+    pivoted-QR trailing-block behavior without swamping small columns."""
     gram, rhs = gram_and_rhs(J, y)
     n = gram.shape[0]
-    diag_mean = jnp.trace(gram) / n
     eps = jnp.finfo(gram.dtype).eps
-    jitter = jnp.maximum(diag_mean, 1.0) * eps * 100.0
-    gram = gram + jitter * jnp.eye(n, dtype=gram.dtype)
+    d = jnp.diagonal(gram)
+    floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
+    jitter = (100.0 * n * eps) * (d + floor)
+    gram = gram + jnp.diag(jitter)
     return _spd_solve(gram, rhs)
 
 
@@ -66,7 +74,15 @@ def solve_gn(J, y):
     q, r = jnp.linalg.qr(J, mode="reduced")
     qty = q.T @ y
     dx = solve_triangular(r, qty, lower=False)
-    ok = jnp.all(jnp.isfinite(dx))
+    # Scale-invariant conditioning test: |R_ii| / ||J e_i|| is the fraction
+    # of column i surviving orthogonalization against columns 1..i-1
+    # (R_ii = the column's norm for i=1). Near-rank-deficiency drives it to
+    # ~eps; bad column *scaling* alone leaves it O(1) and stays exact.
+    eps = jnp.finfo(J.dtype).eps
+    tiny = jnp.asarray(jnp.finfo(J.dtype).tiny, J.dtype)
+    colnorm = jnp.sqrt(jnp.sum(J * J, axis=0))
+    survival = jnp.abs(jnp.diagonal(r)) / jnp.maximum(colnorm, tiny)
+    ok = jnp.all(jnp.isfinite(dx)) & (jnp.min(survival) > 100.0 * n * eps)
     dx = jax.lax.cond(ok, lambda: dx, lambda: _jittered_normal_solve(J, y))
     return dx, jnp.int32(1)
 

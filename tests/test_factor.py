@@ -44,3 +44,61 @@ def test_factor_model(opt_name, solver_name, materialize):
     r = lso.optimize_problem(p, opt)
     assert r.ssr <= 12.0, f"ssr={r.ssr}"
     assert r.converged
+
+
+def _near_singular_problem(sigma_ratio, n=8, m=24, seed=0):
+    """Linear least squares with controlled spectrum: J = U diag(s) V',
+    s from 1 down to sigma_ratio (last two singular values at the floor).
+    b lies in the well-conditioned part of range(J) plus an orthogonal
+    component, so the truncated/regularized optimum has ssr ~ ||b_perp||^2
+    with a bounded x — what the reference's pivoted factorizations produce
+    (dense_qr.jl:37, dense_cholesky.jl:33). An unguarded triangular solve
+    returns finite garbage steps of magnitude ~1/sigma_min instead."""
+    import numpy as onp
+
+    rng = onp.random.default_rng(seed)
+    U, _ = onp.linalg.qr(rng.normal(size=(m, n)))
+    V, _ = onp.linalg.qr(rng.normal(size=(n, n)))
+    s = onp.geomspace(1.0, sigma_ratio, n)
+    s[-2:] = sigma_ratio
+    J = (U * s) @ V.T
+    coef = onp.zeros(n)
+    coef[: n - 2] = rng.normal(size=n - 2)  # well-conditioned directions only
+    b = U @ (s * coef)
+    b_perp = rng.normal(size=m) * 0.1
+    b_perp -= U @ (U.T @ b_perp)  # orthogonal to range(J)
+    b = b + b_perp
+    Jj, bj = jnp.asarray(J), jnp.asarray(b)
+    return (lambda x: Jj @ x - bj), float(b_perp @ b_perp), V.T @ coef
+
+
+@pytest.mark.parametrize("sigma_ratio", [1e-12, 1e-14, 1e-16])
+@pytest.mark.parametrize(
+    "opt_name,solver_name",
+    [
+        ("dogleg", "qr"),
+        ("lm", "qr"),
+        ("dogleg", "cholesky"),
+        ("lm", "cholesky"),
+    ],
+)
+def test_near_singular_conditioning_fallback(opt_name, solver_name, sigma_ratio):
+    """Near-rank-deficient J (finite but garbage triangular solves): the
+    conditioning check must reroute to the bounded regularized solve, so
+    every optimizer x solver combination converges to the truncated optimum
+    with a bounded minimizer — matching pivoted-QR/pstrf behavior."""
+    f, ssr_min, x_true = _near_singular_problem(sigma_ratio)
+    solver = {"qr": lso.QR(), "cholesky": lso.Cholesky()}[solver_name]
+    opt = {"dogleg": lso.Dogleg(solver), "lm": lso.LevenbergMarquardt(solver)}[
+        opt_name
+    ]
+    r = lso.optimize(f, jnp.zeros(8), opt)
+    assert r.converged, f"sigma_ratio={sigma_ratio}: did not converge"
+    # ssr reaches the truncated optimum (not inflated by garbage steps);
+    # the 1e-4 slack absorbs legitimate O(eps * cond) rounding at
+    # sigma_ratio=1e-12, where the exact (unflagged) solve is still used.
+    assert r.ssr <= ssr_min * (1 + 1e-4) + 1e-9, f"ssr={r.ssr} vs {ssr_min}"
+    # ... with a bounded step (no 1/sigma_min ~ 1e12+ excursions).
+    import numpy as onp
+
+    assert onp.max(onp.abs(onp.asarray(r.minimizer))) < 1e3

@@ -15,23 +15,43 @@ from leastsquaresoptim_jl_tpu.models.minpack import rosenbrock, wood
 
 def test_lsmr_user_preconditioner():
     """LSMR(preconditioner=...) overrides the Jacobi default
-    (reference: LSMR(preconditioner!, P), iterative_lsmr.jl:143-145)."""
-    calls = []
+    (reference: LSMR(preconditioner!, P), iterative_lsmr.jl:143-145).
+    Verified by solver-behavior delta, not just that the callable traced:
+    on a badly column-scaled problem, a deliberately bad (identity)
+    preconditioner must cost strictly more matvecs than the Jacobi default,
+    while a user-supplied Jacobi must reproduce the default exactly."""
+    scales = jnp.array([1.0, 1e3, 1e-3, 30.0, 3e-2, 1.0, 1e2, 1e-2])
+    b = jnp.linspace(1.0, 2.0, 8)
 
-    def precond(op, damp):
-        calls.append(1)
+    def f(x):
+        return scales * x - b  # diagonal, wildly scaled columns
+
+    def identity_precond(op, damp):
+        return jnp.ones((op.n,), scales.dtype)
+
+    def jacobi_precond(op, damp):
         s = op.colnorms2()
         if damp is not None:
             s = s + damp
         return jnp.where(s > 0, 1.0 / jnp.sqrt(s), 0.0)
 
-    name, f, x0, _ = rosenbrock()
-    p = lso.least_squares_problem(f=f, x=x0)
-    r = lso.optimize_problem(
-        p, lso.LevenbergMarquardt(lso.LSMR(preconditioner=precond))
+    p = lso.least_squares_problem(f=f, x=jnp.zeros(8))
+    opt = lambda solver: lso.LevenbergMarquardt(solver)
+    r_default = lso.optimize_problem(p, opt(lso.LSMR()))
+    r_jacobi = lso.optimize_problem(
+        p, opt(lso.LSMR(preconditioner=jacobi_precond))
     )
-    assert r.ssr <= 1e-10
-    assert calls  # the custom preconditioner was used (at trace time)
+    r_identity = lso.optimize_problem(
+        p, opt(lso.LSMR(preconditioner=identity_precond))
+    )
+    assert r_default.ssr <= 1e-10 and r_identity.ssr <= 1e-6
+    # user Jacobi == built-in Jacobi: identical work counters
+    assert r_jacobi.mul_calls == r_default.mul_calls
+    assert r_jacobi.iterations == r_default.iterations
+    # identity preconditioning on a cond~1e6 system costs strictly more mvps
+    assert r_identity.mul_calls > 1.5 * r_default.mul_calls, (
+        r_identity.mul_calls, r_default.mul_calls,
+    )
 
 
 def test_lsmr_maxiter_cap():
