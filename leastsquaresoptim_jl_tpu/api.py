@@ -41,12 +41,16 @@ def solve(
     lower=None,
     upper=None,
     x0=None,
+    batched: bool = False,
 ):
     """Pure jittable solve; returns the raw result pytree.
 
     ``lower``/``upper``/``x0`` may be traced arrays; everything else is
     static. Vmap over ``x0`` (and any batch dimensions closed over in the
-    problem's residual function) to batch independent fits.
+    problem's residual function) to batch independent fits — and pass
+    ``batched=True`` when doing so: the reuse ``lax.cond``s become
+    unconditional evaluations (identical semantics in vmap lockstep, where
+    cond lowers to a both-branches select anyway; see optimizer docstrings).
     """
     optimizer = resolve(optimizer, problem)
     options = options or Options()
@@ -56,7 +60,7 @@ def solve(
         loop = _dogleg.optimize_loop
     else:
         raise TypeError(f"unknown optimizer {optimizer!r}")
-    return loop(problem, optimizer.solver, options, lower, upper, x0)
+    return loop(problem, optimizer.solver, options, lower, upper, x0, batched)
 
 
 @functools.lru_cache(maxsize=512)

@@ -33,6 +33,7 @@ def solve_batch(
     lower=None,
     upper=None,
     data_axis: Optional[int] = 0,
+    min_converged_fraction: Optional[float] = None,
 ):
     """Solve a batch of independent fits sharing one residual function.
 
@@ -45,6 +46,14 @@ def solve_batch(
     (vmap in_axes=None): the data is passed as a runtime argument instead of
     a closure constant, so large shared datasets are neither baked into the
     HLO nor recompiled per dataset.
+
+    ``min_converged_fraction`` (e.g. 0.99) switches to a fraction-stop
+    batched loop: one outer ``lax.while_loop`` steps every fit in lockstep
+    (finished fits frozen) and stops as soon as that fraction of the batch
+    is done — under plain vmap the last straggler determines the wall-clock
+    for the whole batch. "Done" = converged, non-finite, or at the
+    iteration cap, so the loop always terminates. Throughput benchmarking
+    (bench.py) and production bulk fitting should use this path.
 
     Returns the raw result pytree with a leading batch axis on every leaf.
     Wrap the call in ``jax.jit`` for repeated use.
@@ -69,19 +78,95 @@ def solve_batch(
         optimizer = Dogleg(Cholesky())
     x0_batch = jnp.asarray(x0_batch)
 
-    def single(x0, data):
+    def problem_for(x0, data):
         residual = f if data is None else (lambda x: f(x, data))
-        prob = least_squares_problem(
+        return least_squares_problem(
             f=residual,
             x=x0,
             output_length=output_length,
             autodiff=autodiff,
             materialize_jacobian=materialize_jacobian,
         )
+
+    def single(x0, data):
         return solve(
-            prob, optimizer, options=opts, lower=lower, upper=upper, x0=x0
+            problem_for(x0, data), optimizer, options=opts,
+            lower=lower, upper=upper, x0=x0, batched=True,
         )
 
+    if min_converged_fraction is not None:
+        return _solve_batch_fraction(
+            problem_for, x0_batch, data_batch, data_axis, optimizer, opts,
+            lower, upper, float(min_converged_fraction),
+        )
     if data_batch is None:
         return jax.vmap(lambda x0: single(x0, None))(x0_batch)
     return jax.vmap(single, in_axes=(0, data_axis))(x0_batch, data_batch)
+
+
+def _solve_batch_fraction(
+    problem_for, x0_batch, data_batch, data_axis, optimizer, opts,
+    lower, upper, frac,
+):
+    """Fraction-stop batched loop: vmapped single-iteration body inside one
+    outer while_loop, stopping when >= frac of the batch is done."""
+    from .optimizer import dogleg as _dogleg
+    from .optimizer import levenberg_marquardt as _lm
+    from .optimizer.base import Dogleg, LevenbergMarquardt, resolve
+
+    probe_x0 = x0_batch[0]
+    probe_data = (
+        None if data_batch is None
+        else (
+            data_batch if data_axis is None
+            else jax.tree_util.tree_map(lambda l: l[0], data_batch)
+        )
+    )
+    optimizer = resolve(optimizer, problem_for(probe_x0, probe_data))
+    pieces_mod = (
+        _lm if isinstance(optimizer, LevenbergMarquardt) else _dogleg
+    )
+
+    def pieces(x0, data):
+        return pieces_mod.loop_pieces(
+            problem_for(x0, data), optimizer.solver, opts,
+            lower, upper, x0, batched=True,
+        )
+
+    if data_batch is None:
+        carry0 = jax.vmap(lambda x0: pieces(x0, None)[0])(x0_batch)
+    else:
+        carry0 = jax.vmap(
+            lambda x0, d: pieces(x0, d)[0], in_axes=(0, data_axis)
+        )(x0_batch, data_batch)
+
+    def vmapped(idx):
+        # idx: 1=cond_fn, 2=body_fn, 3=finalize applied elementwise
+        if data_batch is None:
+            fn = lambda ci, x0: pieces(x0, None)[idx](ci)
+            axes = (0, 0)
+            return lambda c: jax.vmap(fn, in_axes=axes)(c, x0_batch)
+        fn = lambda ci, x0, d: pieces(x0, d)[idx](ci)
+        axes = (0, 0, data_axis)
+        return lambda c: jax.vmap(fn, in_axes=axes)(c, x0_batch, data_batch)
+
+    elem_active = vmapped(1)   # per-element "still running"
+    elem_step = vmapped(2)
+    elem_final = vmapped(3)
+
+    def cond(c):
+        done = ~elem_active(c)
+        return jnp.mean(done.astype(jnp.float32)) < frac
+
+    def body(c):
+        active = elem_active(c)
+        new = elem_step(c)
+
+        def freeze(old, new_leaf):
+            mask = active.reshape(active.shape + (1,) * (new_leaf.ndim - 1))
+            return jnp.where(mask, new_leaf, old)
+
+        return jax.tree_util.tree_map(freeze, c, new)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return elem_final(out)

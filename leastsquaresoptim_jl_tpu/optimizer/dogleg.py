@@ -48,15 +48,24 @@ from .common import (
 )
 
 
-def optimize_loop(
+def loop_pieces(
     problem: LeastSquaresProblem,
     solver_tag,
     opts: Options,
     lower: Optional[jnp.ndarray] = None,
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    batched: bool = False,
 ):
-    """Run dogleg from ``x0``; returns the same raw result pytree as LM."""
+    """The dogleg loop as ``(carry0, cond_fn, body_fn, finalize)``.
+
+    With ``batched=True`` the expensive/reuse ``lax.cond`` (reference :81)
+    becomes an unconditional evaluation of the expensive block: under vmap
+    the cond lowers to a select that runs *both* branches anyway, and on a
+    rejected step x/fcur are unchanged so recomputation reproduces the
+    reused values exactly — same semantics, one branch instead of two. Work
+    counters keep the reference accounting (only fresh blocks counted).
+    """
     residual_fn = problem.residual_fn
     jac_fn = problem.jac_fn
     materialize = problem.materialize_jacobian
@@ -123,7 +132,11 @@ def optimize_loop(
         x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
 
         # Linearization point reuse across rejected steps (reference :81).
-        if materialize:
+        if materialize and batched:
+            # batched: x unchanged on rejection => recompute == reuse
+            jstate = jac_fn(x)
+            op = operators.from_matrix(jstate)
+        elif materialize:
             keep = c["reuse"]
             if problem.jacobian_is_sparse:
                 # The sparse carry was seeded with jac_fn(x0); iteration 1
@@ -133,6 +146,9 @@ def optimize_loop(
                 keep, lambda: c["jstate"], lambda: jac_fn(x)
             )
             op = operators.from_matrix(jstate)
+        elif batched:
+            jstate = x
+            op = operators.for_problem(problem, jstate)
         else:
             jstate = jnp.where(c["reuse"], c["jstate"], x)
             op = operators.for_problem(problem, jstate)
@@ -168,10 +184,20 @@ def optimize_loop(
                 jnp.int32(0), jnp.int32(0),
             )
 
-        (
-            dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
-            maxabs_gr, g_inc, mul_inc,
-        ) = jax.lax.cond(c["reuse"], reused, expensive)
+        if batched:
+            # Unconditional expensive block (recompute == reuse in lockstep);
+            # counters still follow the reference's reuse accounting.
+            (
+                dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
+                maxabs_gr, g_inc, mul_inc,
+            ) = expensive()
+            g_inc = jnp.where(c["reuse"], 0, g_inc)
+            mul_inc = jnp.where(c["reuse"], 0, mul_inc)
+        else:
+            (
+                dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
+                maxabs_gr, g_inc, mul_inc,
+            ) = jax.lax.cond(c["reuse"], reused, expensive)
         g_calls = c["g_calls"] + g_inc
         mul_calls = c["mul_calls"] + mul_inc
 
@@ -315,23 +341,41 @@ def optimize_loop(
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
         return new
 
-    out = jax.lax.while_loop(cond_fn, body_fn, carry)
-    status = jnp.where(
-        jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+    def finalize(out):
+        status = jnp.where(
+            jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+        )
+        return dict(
+            minimizer=out["x"],
+            ssr=out["ssr"],
+            iterations=out["it"],
+            x_converged=out["x_converged"],
+            f_converged=out["f_converged"],
+            g_converged=out["g_converged"],
+            converged=out["converged"],
+            f_calls=out["f_calls"],
+            g_calls=out["g_calls"],
+            mul_calls=out["mul_calls"],
+            maxabs_gr=out["maxabs_gr"],
+            trace=out["trace"],
+            status=status,
+            jacobian=out["jstate"] if materialize else None,
+        )
+
+    return carry, cond_fn, body_fn, finalize
+
+
+def optimize_loop(
+    problem: LeastSquaresProblem,
+    solver_tag,
+    opts: Options,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    batched: bool = False,
+):
+    """Run dogleg from ``x0``; returns the same raw result pytree as LM."""
+    carry, cond_fn, body_fn, finalize = loop_pieces(
+        problem, solver_tag, opts, lower, upper, x0, batched
     )
-    return dict(
-        minimizer=out["x"],
-        ssr=out["ssr"],
-        iterations=out["it"],
-        x_converged=out["x_converged"],
-        f_converged=out["f_converged"],
-        g_converged=out["g_converged"],
-        converged=out["converged"],
-        f_calls=out["f_calls"],
-        g_calls=out["g_calls"],
-        mul_calls=out["mul_calls"],
-        maxabs_gr=out["maxabs_gr"],
-        trace=out["trace"],
-        status=status,
-        jacobian=out["jstate"] if materialize else None,
-    )
+    return finalize(jax.lax.while_loop(cond_fn, body_fn, carry))

@@ -32,18 +32,25 @@ from .common import (
 )
 
 
-def optimize_loop(
+def loop_pieces(
     problem: LeastSquaresProblem,
     solver_tag,
     opts: Options,
     lower: Optional[jnp.ndarray] = None,
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    batched: bool = False,
 ):
-    """Run LM from ``x0`` (default ``problem.x0``); returns a raw result pytree.
+    """The LM loop decomposed as ``(carry0, cond_fn, body_fn, finalize)``.
 
-    Pure and jittable; `vmap` over ``x0`` (and data closed over in
-    ``problem.residual_fn``) batches independent fits.
+    ``optimize_loop`` runs them through one ``lax.while_loop``; the batched
+    fraction-stop driver (batch.py) vmaps body/cond around its own outer
+    loop instead. With ``batched=True`` the Jacobian-reuse ``lax.cond``
+    becomes an unconditional evaluation: under vmap cond lowers to a select
+    that computes *both* branches anyway, and on a rejected step x is
+    unchanged so recomputing J(x) is bitwise the reuse — same semantics,
+    minus the select. Work counters keep the reference accounting (g_calls
+    counts only fresh linearization points) either way.
     """
     residual_fn = problem.residual_fn
     jac_fn = problem.jac_fn
@@ -114,11 +121,18 @@ def optimize_loop(
 
         # Jacobian reuse across rejected steps (reference :77-81).
         with jax.named_scope("lm/jacobian"):
-            if materialize:
+            if materialize and not batched:
                 jstate = jax.lax.cond(
                     c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
                 )
                 op = operators.from_matrix(jstate)
+            elif materialize:
+                # batched: x unchanged on rejection => recompute == reuse
+                jstate = jac_fn(x)
+                op = operators.from_matrix(jstate)
+            elif batched:
+                jstate = x
+                op = operators.for_problem(problem, jstate)
             else:
                 jstate = jnp.where(c["need_jacobian"], x, c["jstate"])
                 op = operators.for_problem(problem, jstate)
@@ -247,23 +261,45 @@ def optimize_loop(
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
         return new
 
-    out = jax.lax.while_loop(cond_fn, body_fn, carry)
-    status = jnp.where(
-        jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+    def finalize(out):
+        status = jnp.where(
+            jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
+        )
+        return dict(
+            minimizer=out["x"],
+            ssr=out["ssr"],
+            iterations=out["it"],
+            x_converged=out["x_converged"],
+            f_converged=out["f_converged"],
+            g_converged=out["g_converged"],
+            converged=out["converged"],
+            f_calls=out["f_calls"],
+            g_calls=out["g_calls"],
+            mul_calls=out["mul_calls"],
+            maxabs_gr=out["maxabs_gr"],
+            trace=out["trace"],
+            status=status,
+            jacobian=out["jstate"] if materialize else None,
+        )
+
+    return carry, cond_fn, body_fn, finalize
+
+
+def optimize_loop(
+    problem: LeastSquaresProblem,
+    solver_tag,
+    opts: Options,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    batched: bool = False,
+):
+    """Run LM from ``x0`` (default ``problem.x0``); returns a raw result pytree.
+
+    Pure and jittable; `vmap` over ``x0`` (and data closed over in
+    ``problem.residual_fn``) batches independent fits.
+    """
+    carry, cond_fn, body_fn, finalize = loop_pieces(
+        problem, solver_tag, opts, lower, upper, x0, batched
     )
-    return dict(
-        minimizer=out["x"],
-        ssr=out["ssr"],
-        iterations=out["it"],
-        x_converged=out["x_converged"],
-        f_converged=out["f_converged"],
-        g_converged=out["g_converged"],
-        converged=out["converged"],
-        f_calls=out["f_calls"],
-        g_calls=out["g_calls"],
-        mul_calls=out["mul_calls"],
-        maxabs_gr=out["maxabs_gr"],
-        trace=out["trace"],
-        status=status,
-        jacobian=out["jstate"] if materialize else None,
-    )
+    return finalize(jax.lax.while_loop(cond_fn, body_fn, carry))

@@ -55,6 +55,69 @@ def test_batch_equals_sequential():
     assert np.mean(ssr <= 1e-8) >= 0.8
 
 
+def test_batch_fraction_stop():
+    """min_converged_fraction: the fraction-stop loop ends a batch early,
+    frozen fits are flagged unconverged, and every fit it did finish agrees
+    exactly with the plain vmap path."""
+    rng = np.random.default_rng(1)
+    B, m = 24, 20
+    xdata = jnp.array(np.linspace(1.0, 60.0, m))
+    betas_true = jnp.array(
+        np.stack([rng.uniform(100, 400, B), rng.uniform(2e-4, 2e-3, B)], 1)
+    )
+    ydata = jax.vmap(lambda b: _curve_model(xdata, b))(betas_true)
+    x0s = betas_true * jnp.array(rng.uniform(0.5, 1.8, size=(B, 2)))
+
+    def f(beta, data):
+        xd, yd = data
+        return yd - _curve_model(xd, beta)
+
+    data = (jnp.broadcast_to(xdata, (B, m)), ydata)
+    opt = lso.LevenbergMarquardt(lso.Cholesky())
+    full = lso.solve_batch(f, x0s, data, opt, output_length=m)
+    frac = lso.solve_batch(
+        f, x0s, data, opt, output_length=m, min_converged_fraction=0.75
+    )
+    cf = np.asarray(frac["converged"])
+    assert cf.mean() >= 0.75
+    # early stop really happened: the straggler iterations are below full's
+    assert np.asarray(frac["iterations"]).max() <= np.asarray(
+        full["iterations"]
+    ).max()
+    both = cf & np.asarray(full["converged"])
+    assert np.allclose(
+        np.asarray(frac["minimizer"])[both],
+        np.asarray(full["minimizer"])[both],
+        rtol=1e-12,
+    )
+    # and per-fit iteration counts agree on the finished subset
+    assert np.array_equal(
+        np.asarray(frac["iterations"])[both],
+        np.asarray(full["iterations"])[both],
+    )
+    # fraction 1.0 reproduces the full batch exactly
+    frac1 = lso.solve_batch(
+        f, x0s, data, opt, output_length=m, min_converged_fraction=1.0
+    )
+    assert np.allclose(
+        np.asarray(frac1["minimizer"]), np.asarray(full["minimizer"]),
+        rtol=1e-12,
+    )
+
+
+def test_batch_fraction_stop_dogleg_no_data():
+    def rosenbrock(x):
+        return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])
+
+    x0s = jnp.array([[0.0, 0.0], [-1.2, 1.0], [2.0, 2.0], [0.5, -0.5]])
+    raw = lso.solve_batch(
+        rosenbrock, x0s, optimizer=lso.Dogleg(),
+        min_converged_fraction=1.0,
+    )
+    assert np.all(np.asarray(raw["converged"]))
+    assert np.allclose(raw["minimizer"], 1.0, atol=1e-6)
+
+
 def test_batch_without_data():
     def rosenbrock(x):
         return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])
