@@ -23,7 +23,92 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def trend():
+    """Virtual-mesh overhead trend (VERDICT round-1 weak #5): run the same
+    fixed-size sharded solve on mesh sizes 1/2/4/8 and record the overhead
+    factor vs mesh=1. On this box all virtual devices share one CPU core,
+    so total compute is constant and the factor isolates the partition +
+    collective overhead the GSPMD lowering adds — real weak scaling needs a
+    pod. Run with XLA_FLAGS=--xla_force_host_platform_device_count=8 and
+    JAX platform cpu (forced in-process below)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import leastsquaresoptim_jl_tpu as lso
+    from leastsquaresoptim_jl_tpu.parallel import (
+        make_mesh,
+        shard_rows,
+        sharded_problem,
+    )
+
+    ndev = len(jax.devices())
+    m, n = 262_144, 512
+    dtype = jnp.float32
+    rows_per_param = m // n
+    xdata = jnp.linspace(0.0, 1.0, m, dtype=dtype)
+    ydata = jnp.sin(3.0 * xdata)
+
+    def per_row(beta, row):
+        xr, yr, idx = row
+        i = jnp.minimum(idx.astype(jnp.int32), n - 4)
+        b0 = jnp.take(beta, i)
+        b1 = jnp.take(beta, i + 1)
+        b2 = jnp.take(beta, i + 2)
+        b3 = jnp.take(beta, i + 3)
+        return yr - (b0 + b1 * xr + b2 * xr * xr + b3 * jnp.sin(xr))
+
+    idx = (jnp.arange(m) // rows_per_param).astype(dtype)
+    x0 = jnp.zeros((n,), dtype)
+    opts = lso.Options(iterations=3, x_tol=0.0, f_tol=0.0, g_tol=0.0)
+    opt = lso.LevenbergMarquardt(lso.LSMR(maxiter=20))
+
+    table = {}
+    sizes = [k for k in (1, 2, 4, 8) if k <= ndev]
+    for k in sizes:
+        mesh = make_mesh((k,), ("rows",), devices=jax.devices()[:k])
+        data = shard_rows((xdata, ydata, idx), mesh)
+        prob = sharded_problem(per_row, data, x0, mesh)
+
+        @jax.jit
+        def run(x, prob=prob, opt=opt, opts=opts):
+            return lso.solve(prob, opt, options=opts, x0=x)
+
+        with mesh:
+            out = run(x0)
+            np.asarray(out["ssr"])
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                out = run(x0 * (1.0 + 1e-6 * (i + 1)) + 1e-6)
+                np.asarray(out["ssr"])
+                times.append(time.perf_counter() - t0)
+        table[k] = min(times)
+        print(f"mesh={k}: {table[k]:.3f}s", file=sys.stderr)
+
+    base = table[sizes[0]]
+    factors = {k: round(t / base, 3) for k, t in table.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_virtual_mesh_overhead_factor",
+                "value": factors[sizes[-1]],
+                "unit": (
+                    f"wall-clock vs mesh=1, fixed m={m}, n={n}, f32, "
+                    f"virtual CPU devices (shared core): "
+                    + ", ".join(f"mesh{k}={v}x" for k, v in factors.items())
+                ),
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def main():
+    if "--trend" in sys.argv:
+        trend()
+        return
     import jax
     import jax.numpy as jnp
 

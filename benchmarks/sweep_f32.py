@@ -28,6 +28,8 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 MINPACK_SSR_TOL = 1e-3
 NIST_X_TOL = 1e-3
 

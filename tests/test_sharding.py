@@ -141,6 +141,64 @@ def test_solve_sharded_batch_axis():
     assert np.allclose(raw["minimizer"], betas_true, atol=1e-4)
 
 
+def test_collective_structure_full_solve_loop():
+    """Compiled-HLO gate on the *entire* distributed LM(LSMR) solve
+    (VERDICT round-1 #7): collectives per compiled loop body are pinned.
+
+    Design accounting for the GSPMD row-sharded path:
+      * inner LSMR body: exactly 2 all-reduce ops — J'u (rmatvec) and the
+        u-space norm beta; Jv and all v-space scalars are local. They are
+        data-dependent, so XLA cannot merge them.
+      * outer LM body: exactly 4 — the gradient J'f rmatvec, LSMR-init
+        ||b|| and init rmatvec, and one tuple all-reduce where XLA merges
+        the independent row reductions (trial ssr, ared, pred, colnorms).
+      * one initial-ssr all-reduce outside both loops.
+    A regression here means a sharding annotation leaked and XLA started
+    gathering rows instead of reducing partials.
+    """
+    import re
+
+    mesh = _mesh()
+    m = 64
+    xdata = jnp.array(np.linspace(1.0, 80.0, m))
+    ydata = 240.0 * (1 - jnp.exp(-5e-4 * xdata))
+
+    def per_row(beta, row):
+        xr, yr = row
+        return yr - beta[0] * (1 - jnp.exp(-beta[1] * xr))
+
+    from leastsquaresoptim_jl_tpu.parallel import sharded_problem
+
+    data = shard_rows((xdata, ydata), mesh)
+    x0 = jnp.array([200.0, 1e-3])
+    prob = sharded_problem(per_row, data, x0, mesh)
+
+    def run(x):
+        return lso.solve(prob, lso.LevenbergMarquardt(lso.LSMR()), x0=x)
+
+    with mesh:
+        txt = jax.jit(run).lower(x0).compile().as_text()
+
+    ar_lines = [
+        l for l in txt.splitlines() if re.search(r"%all-reduce[.\d]* = ", l)
+    ]
+    paths = [
+        (re.search(r'op_name="([^"]*)"', l).group(1) if "op_name" in l else "")
+        for l in ar_lines
+    ]
+    inner_body = [p for p in paths if "/inner_solve/while/body/" in p]
+    outer_body = [
+        p for p in paths
+        if "/while/body/" in p and "/inner_solve/while/body/" not in p
+    ]
+    outside = [p for p in paths if "/while/body/" not in p]
+    assert len(inner_body) == 2, (inner_body, paths)
+    assert len(outer_body) == 4, (outer_body, paths)
+    assert len(outside) == 1, (outside, paths)
+    # no row gathers anywhere: scale-out must reduce, never materialize
+    assert "all-gather" not in txt
+
+
 def test_collective_structure_one_allreduce_per_matvec_pair():
     """Compiled-HLO gate on the distributed-LSMR design (SURVEY.md §2):
     Jv is local (zero collectives), J'u costs exactly one all-reduce —

@@ -134,3 +134,23 @@ def test_user_analytic_sparse_g():
     assert problem.jacobian_is_sparse
     r = lso.optimize_problem(problem)
     assert r.ssr <= SSR_TOL
+
+
+def test_sparse_at_scale_banded_lm_lsmr():
+    """At-scale BCOO exercise (VERDICT round-1 #10): a banded materialized
+    BCOO Jacobian at n=1500 (ncolors=7 << n) through the full LM(LSMR)
+    loop — validates the static-pattern carry far beyond the n=20 grid."""
+    n = 1500
+    name, f, x0, _ = broyden_banded(n)
+    pattern = _banded_pattern(n)
+    jac = lso.sparse_jacobian(f, pattern, n, n)
+    problem = lso.least_squares_problem(f=f, x=x0, g=jac)
+    assert problem.jacobian_is_sparse
+    r = lso.optimize_problem(
+        problem, lso.LevenbergMarquardt(lso.LSMR(maxiter=60))
+    )
+    assert r.ssr <= SSR_TOL, r.ssr
+    assert r.converged
+    # the result's Jacobian is still the sparse pattern, not a densified one
+    assert hasattr(r.jacobian, "todense")
+    assert r.jacobian.nse == len(pattern)
