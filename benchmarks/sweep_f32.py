@@ -112,13 +112,19 @@ def _stage_polish(in_path, out_path):
     with open(in_path) as fh:
         results = json.load(fh)
 
+    # Extreme tolerances force g-convergence, exactly like the reference's
+    # certified-fit runs (/root/reference/test/nonlinearfitting.jl:1465) and
+    # our f64 scoreboard (tests/test_nist.py) — the defaults stop well short
+    # of certified accuracy.
+    extreme = dict(x_tol=1e-50, f_tol=1e-36, g_tol=1e-50)
+
     suite = {name: (f, x0, jac) for name, f, x0, jac in full_suite()}
     for row in results["minpack"]:
         if row["ok"]:
             row["ok_polished"] = True
             continue
         f, _, _ = suite[row["problem"]]
-        r = lso.polish(f, jnp.asarray(row["minimizer"], jnp.float64))
+        r = lso.polish(f, jnp.asarray(row["minimizer"], jnp.float64), **extreme)
         row["ssr_polished"] = float(r.ssr)
         row["ok_polished"] = bool(r.ssr <= MINPACK_SSR_TOL)
 
@@ -132,7 +138,9 @@ def _stage_polish(in_path, out_path):
         def residual(beta, xdata=xdata, ydata=ydata, model=model):
             return ydata - model(xdata, beta)
 
-        r = lso.polish(residual, jnp.asarray(row["minimizer"], jnp.float64))
+        r = lso.polish(
+            residual, jnp.asarray(row["minimizer"], jnp.float64), **extreme
+        )
         xhat = np.asarray(r.minimizer, np.float64)
         row["err_polished"] = float(np.linalg.norm(xhat - sol))
         row["ok_polished"] = bool(row["err_polished"] <= NIST_X_TOL)
