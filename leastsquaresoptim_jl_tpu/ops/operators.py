@@ -81,7 +81,13 @@ def from_matrix(J) -> JacobianOperator:
     )
 
 
-_HUTCHINSON_PROBES = 8
+# Measured on the m=1M / n=10k LM(LSMR) workload (benchmarks/bench_colnorms.py,
+# v5e): 8 probes -> 18 LM iters / 244 mvps / 0.45 s; 32 -> 17 / 98 / 0.09 s;
+# 64 -> 14 / 64 / 0.11 s; user-exact colnorms -> 6 / 24. The probes ride one
+# vmapped rmatvec (MXU-batched), so 32 is the cost/variance sweet spot —
+# still ~4x the exact-colnorms mvp count, which is why problems with known
+# structure should pass colnorms= (matrix_free_problem).
+_HUTCHINSON_PROBES = 32
 # Up to this parameter count, matrix-free colnorms are computed exactly with
 # n vmapped JVPs (one batched evaluation) instead of estimated: identical to
 # the reference's colsumabs2! semantics and cheap in the small-n regime.
