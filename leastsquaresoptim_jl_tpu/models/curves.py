@@ -105,13 +105,16 @@ def curve_fit_batch(
     options: Optional[Options] = None,
     lower=None,
     upper=None,
+    min_converged_fraction: Optional[float] = None,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
     ``xdata``/``ydata`` have shape (B, m) (or (m,) xdata broadcast across
     the batch), ``p0`` is (B, n). Returns the raw result pytree with a
     leading batch axis (jit/pjit-friendly); wrap individual rows with the
-    host API if Optim-style reports are wanted.
+    host API if Optim-style reports are wanted. ``min_converged_fraction``
+    enables the fraction-stop loop (see solve_batch) — the production bulk
+    fitting mode where stragglers don't set the batch wall-clock.
     """
     model = _as_model(model)
     p0 = jnp.asarray(p0)
@@ -139,4 +142,5 @@ def curve_fit_batch(
     return solve_batch(
         f, p0, data, optimizer,
         options=options, output_length=m, lower=lower, upper=upper,
+        min_converged_fraction=min_converged_fraction,
     )

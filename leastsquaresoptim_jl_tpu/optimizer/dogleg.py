@@ -87,8 +87,14 @@ def loop_pieces(
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
 
+    # Batched dense mode recomputes J every iteration: don't carry it (see
+    # levenberg_marquardt.py — finalize recomputes at the final x, which is
+    # always the last evaluated linearization point).
+    drop_jstate = batched and materialize and not problem.jacobian_is_sparse
     if not materialize:
         jstate0 = x
+    elif drop_jstate:
+        jstate0 = jnp.zeros((0,), dt)
     elif problem.jacobian_is_sparse:
         # Sparse carry: static BCOO pattern, only data flows (see LM loop).
         jstate0 = jac_fn(x)
@@ -134,8 +140,9 @@ def loop_pieces(
         # Linearization point reuse across rejected steps (reference :81).
         if materialize and batched:
             # batched: x unchanged on rejection => recompute == reuse
-            jstate = jac_fn(x)
-            op = operators.from_matrix(jstate)
+            J = jac_fn(x)
+            jstate = c["jstate"] if drop_jstate else J
+            op = operators.from_matrix(J)
         elif materialize:
             keep = c["reuse"]
             if problem.jacobian_is_sparse:
@@ -345,6 +352,8 @@ def loop_pieces(
         status = jnp.where(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
+        if drop_jstate:
+            out = dict(out, jstate=jac_fn(out["x"]))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],

@@ -70,8 +70,18 @@ def loop_pieces(
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
 
+    # In batched dense mode the Jacobian is recomputed every iteration
+    # (recompute == reuse in vmap lockstep), so carrying the (m, n) jstate
+    # would only add per-iteration HBM traffic; a 0-size placeholder rides
+    # the carry and finalize recomputes J at the final x — identical values,
+    # since at loop exit x is exactly the last evaluated linearization point
+    # (x never moves on rejection).
+    drop_jstate = batched and materialize and not problem.jacobian_is_sparse
     if not materialize:
         jstate0 = x
+        need_jacobian0 = True
+    elif drop_jstate:
+        jstate0 = jnp.zeros((0,), dt)
         need_jacobian0 = True
     elif problem.jacobian_is_sparse:
         # Sparse carry: the BCOO pattern is static, only data flows. Seed
@@ -128,8 +138,9 @@ def loop_pieces(
                 op = operators.from_matrix(jstate)
             elif materialize:
                 # batched: x unchanged on rejection => recompute == reuse
-                jstate = jac_fn(x)
-                op = operators.from_matrix(jstate)
+                J = jac_fn(x)
+                jstate = c["jstate"] if drop_jstate else J
+                op = operators.from_matrix(J)
             elif batched:
                 jstate = x
                 op = operators.for_problem(problem, jstate)
@@ -265,6 +276,8 @@ def loop_pieces(
         status = jnp.where(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
+        if drop_jstate:
+            out = dict(out, jstate=jac_fn(out["x"]))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],
