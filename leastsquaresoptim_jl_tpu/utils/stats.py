@@ -60,25 +60,31 @@ def covariance(result, m: int | None = None, problem=None) -> np.ndarray:
         J = np.asarray(J)
     else:
         J = _final_jacobian(result)
+    J = J.astype(np.float64)  # f32 solves still get f64-accurate statistics
     rows, n = J.shape
     if m is None:
         m = rows
     dof = max(m - n, 1)
-    s2 = result.ssr / dof
+    s2 = float(result.ssr) / dof
     gram = J.T @ J
-    w, V = np.linalg.eigh(gram)
-    tol = np.max(np.abs(w)) * n * np.finfo(gram.dtype).eps
-    null = w <= tol
+    # Equilibrate before the eigendecomposition: the rank test must see the
+    # *correlation* conditioning, not the column scaling (a badly scaled but
+    # perfectly identifiable fit would otherwise trip the null threshold).
+    d = np.sqrt(np.diag(gram))
+    s = 1.0 / np.where(d > 0, d, 1.0)  # zero columns keep unit scale
+    gs = gram * s[:, None] * s[None, :]
+    w, V = np.linalg.eigh(gs)
+    null = w <= np.max(np.abs(w)) * n * np.finfo(np.float64).eps
     # Pseudo-inverse body (null directions contribute 0, not inf — an
     # inf eigenvalue would flood every entry with inf/NaN cross-terms,
     # destroying the identifiable parameters' covariances too).
     inv_w = np.where(null, 0.0, 1.0 / np.where(null, 1.0, w))
-    cov = s2 * (V * inv_w[None, :]) @ V.T
+    cov = s2 * (s[:, None] * ((V * inv_w[None, :]) @ V.T) * s[None, :])
     if np.any(null):
         # Flag unidentifiable parameters: infinite variance on exactly the
         # coordinates with significant null-space eigenvector mass.
         proj = (V[:, null] ** 2).sum(axis=1)
-        idx = np.where(proj > n * np.finfo(gram.dtype).eps)[0]
+        idx = np.where(proj > n * np.finfo(np.float64).eps)[0]
         cov[idx, idx] = np.inf
     return cov
 

@@ -195,3 +195,31 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     )
     assert np.allclose(back["minimizer"], tree["minimizer"])
     assert float(back["ssr"]) == 1.5
+
+
+def test_polish_refines_f32_minimizer():
+    """lso.polish: the mixed-precision finish — a short f64 refinement from
+    an f32 minimizer reaches f64-level accuracy (benchmarks/sweep_f32.py is
+    the on-chip version of this flow)."""
+    x = jnp.linspace(1.0, 80.0, 40)
+    true = np.array([240.0, 5e-2])
+    y64 = jnp.asarray(true[0] * (1 - np.exp(-true[1] * np.asarray(x))))
+
+    def f(b):
+        return y64 - b[0] * (1 - jnp.exp(-b[1] * x))
+
+    # f32 stage: data and params in f32
+    x32, y32 = jnp.asarray(x, jnp.float32), jnp.asarray(y64, jnp.float32)
+    r32 = lso.optimize(
+        lambda b: y32 - b[0] * (1 - jnp.exp(-b[1] * x32)),
+        jnp.asarray([200.0, 1e-1], jnp.float32),
+    )
+    assert r32.converged
+    err32 = np.max(np.abs(np.asarray(r32.minimizer) - true) / true)
+    # f64 polish from the f32 minimizer (f computes in f64)
+    r = lso.polish(f, r32.minimizer, x_tol=1e-50, f_tol=1e-36, g_tol=1e-50)
+    err = np.max(np.abs(np.asarray(r.minimizer) - true) / true)
+    assert err <= 1e-9, err
+    assert err < err32
+    # polish result is f64
+    assert np.asarray(r.minimizer).dtype == np.float64
