@@ -97,17 +97,20 @@ def solve_sharded(
     matvecs. For small n a materialized row-sharded J with
     ``sharded_gram_and_rhs`` (below) is the normal-equations alternative.
     """
-    problem = sharded_problem(
-        per_row_residual, data, x0, mesh, axis=axis, weights=weights
-    )
-
+    # Data and weights ride as jit *arguments*, not closure constants: a
+    # multi-process (multi-host) array spanning non-addressable devices
+    # cannot be closed over at all, and even single-process closures would
+    # bake the dataset into the HLO (one recompile per dataset).
     @functools.partial(jax.jit, out_shardings=None)
-    def run(x0_):
+    def run(x0_, data_, weights_):
+        problem = sharded_problem(
+            per_row_residual, data_, x0_, mesh, axis=axis, weights=weights_
+        )
         return solve(problem, optimizer, options=options,
                      lower=lower, upper=upper, x0=x0_)
 
     with mesh:
-        return run(jnp.asarray(x0))
+        return run(jnp.asarray(x0), data, weights)
 
 
 # ---------------------------------------------------------------------------
