@@ -132,7 +132,7 @@ def main():
     out, nconv = run(x0j, data)
     np.asarray(out)  # warmup/compile + fetch
     reps = 4
-    times, total_conv = [], 0
+    runs = []
     for i in range(reps):
         # vary inputs and force a host fetch: identical dispatches may be
         # served from cache and block_until_ready can return early on axon.
@@ -140,10 +140,10 @@ def main():
         out, nconv = run(x0j * (1.0 + 1e-5 * i), data)
         nc = int(np.asarray(nconv))
         np.asarray(out)
-        times.append(time.perf_counter() - t0)
-        total_conv += nc
-    tpu_time = min(times)
-    conv_per_run = total_conv / reps
+        runs.append((time.perf_counter() - t0, nc))
+    # min-time rep paired with ITS OWN converged count — mixing the mean
+    # count with the min time would pair statistics from different runs.
+    tpu_time, conv_per_run = min(runs)
     fits_per_s = conv_per_run / tpu_time  # converged fits per second
 
     # Sanity: accuracy of converged fits in the last batch (stderr).

@@ -49,14 +49,22 @@ F32_G_TOL = 1e-5
 def default_tolerances(dtype):
     """(x_tol, f_tol, g_tol) defaults for ``dtype``.
 
-    f64 keeps the reference's 1e-8 (parity); f32 gets noise-floor-scaled
-    values so on-chip solves converge by criterion, not iteration cap.
+    f64 keeps the reference's 1e-8 (parity); f32 gets the tuned
+    noise-floor-scaled constants above; other low-precision dtypes
+    (bf16/f16) get the same *ratios* derived from their own eps
+    (x = f = ~8 eps, g = ~80 eps — the f32 constants expressed
+    generically), so the f-criterion floor always sits a small multiple
+    above that dtype's reduction noise.
     """
     import numpy as _np
 
-    if _np.finfo(dtype).bits >= 64:
+    info = _np.finfo(dtype)
+    if info.bits >= 64:
         return DEFAULT_X_TOL, DEFAULT_F_TOL, DEFAULT_G_TOL
-    return F32_X_TOL, F32_F_TOL, F32_G_TOL
+    if info.bits == 32:
+        return F32_X_TOL, F32_F_TOL, F32_G_TOL
+    eps = float(info.eps)
+    return 8.0 * eps, 8.0 * eps, 80.0 * eps
 
 # Default initial trust-region radii
 # (reference: levenberg_marquardt.jl:42, dogleg.jl:44).

@@ -95,6 +95,22 @@ def unrolled_chol_solve(gram, rhs):
     return unrolled_chol_solve_with_diag(gram, rhs)[0]
 
 
+def scaled_tikhonov_jitter(gram):
+    """Per-column relative jitter for (near-)semidefinite normal systems:
+    100 n eps (diag(G) + floor). Adding it truncates directions below
+    ~sqrt(100 n eps) of their own column scale — the behavior of pivoted
+    factorizations' trailing-block truncation (reference geqp3/pstrf,
+    dense_qr.jl:37, dense_cholesky.jl:33) — without letting large columns'
+    scale swamp small ones. The additive floor covers exactly-zero columns.
+    Shared by the QR and Cholesky fallbacks so both truncate at the same
+    threshold."""
+    n = gram.shape[-1]
+    eps = jnp.finfo(gram.dtype).eps
+    d = jnp.diagonal(gram)
+    floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
+    return (100.0 * n * eps) * (d + floor)
+
+
 def maxabs_projected_gradient(g, x, lower, upper):
     """Infinity norm of the gradient projected onto the active box bounds.
 

@@ -87,14 +87,15 @@ def loop_pieces(
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
 
-    # Batched dense mode recomputes J every iteration: don't carry it (see
-    # levenberg_marquardt.py — finalize recomputes at the final x, which is
-    # always the last evaluated linearization point).
+    # Batched dense mode recomputes J every iteration: carry the (n,)
+    # linearization point instead of the (m, n) J (see
+    # levenberg_marquardt.py — finalize recomputes J there, identical to
+    # the carried-J path even on a poisoned non-finite exit).
     drop_jstate = batched and materialize and not problem.jacobian_is_sparse
     if not materialize:
         jstate0 = x
     elif drop_jstate:
-        jstate0 = jnp.zeros((0,), dt)
+        jstate0 = x
     elif problem.jacobian_is_sparse:
         # Sparse carry: static BCOO pattern, only data flows (see LM loop).
         jstate0 = jac_fn(x)
@@ -141,7 +142,7 @@ def loop_pieces(
         if materialize and batched:
             # batched: x unchanged on rejection => recompute == reuse
             J = jac_fn(x)
-            jstate = c["jstate"] if drop_jstate else J
+            jstate = x if drop_jstate else J
             op = operators.from_matrix(J)
         elif materialize:
             keep = c["reuse"]
@@ -353,7 +354,7 @@ def loop_pieces(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
         if drop_jstate:
-            out = dict(out, jstate=jac_fn(out["x"]))
+            out = dict(out, jstate=jac_fn(out["jstate"]))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],

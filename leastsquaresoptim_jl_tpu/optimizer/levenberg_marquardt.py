@@ -72,16 +72,17 @@ def loop_pieces(
 
     # In batched dense mode the Jacobian is recomputed every iteration
     # (recompute == reuse in vmap lockstep), so carrying the (m, n) jstate
-    # would only add per-iteration HBM traffic; a 0-size placeholder rides
-    # the carry and finalize recomputes J at the final x — identical values,
-    # since at loop exit x is exactly the last evaluated linearization point
-    # (x never moves on rejection).
+    # would only add per-iteration HBM traffic; the carry holds the (n,)
+    # linearization point instead (like the matrix-free mode) and finalize
+    # recomputes J there — identical to the carried-J path even when the
+    # loop exits on a non-finite step that poisoned x (the linearization
+    # point is always the last *finite* x the loop iterated on).
     drop_jstate = batched and materialize and not problem.jacobian_is_sparse
     if not materialize:
         jstate0 = x
         need_jacobian0 = True
     elif drop_jstate:
-        jstate0 = jnp.zeros((0,), dt)
+        jstate0 = x
         need_jacobian0 = True
     elif problem.jacobian_is_sparse:
         # Sparse carry: the BCOO pattern is static, only data flows. Seed
@@ -139,7 +140,7 @@ def loop_pieces(
             elif materialize:
                 # batched: x unchanged on rejection => recompute == reuse
                 J = jac_fn(x)
-                jstate = c["jstate"] if drop_jstate else J
+                jstate = x if drop_jstate else J
                 op = operators.from_matrix(J)
             elif batched:
                 jstate = x
@@ -277,7 +278,7 @@ def loop_pieces(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
         if drop_jstate:
-            out = dict(out, jstate=jac_fn(out["x"]))
+            out = dict(out, jstate=jac_fn(out["jstate"]))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],

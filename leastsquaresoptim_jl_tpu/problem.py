@@ -254,10 +254,14 @@ def matrix_free_problem(
     base = least_squares_problem(
         f=f, x=x, output_length=output_length, materialize_jacobian=False
     )
-    if base.unravel is not None and jvp is not None:
+    if base.unravel is not None and (jvp is not None or colnorms is not None):
+        # All hooks are called in the flat solver vector space; a
+        # colnorms-only hook written against the user's pytree would be
+        # handed the raveled array mid-trace.
         raise ValueError(
-            "user operator hooks require flat vector parameters "
-            "(got a pytree x)"
+            "user operator hooks (jvp/vjp/colnorms) work in the flat "
+            "vector space and require flat vector parameters (got a "
+            "pytree x)"
         )
     return dataclasses.replace(
         base, jvp_fn=jvp, vjp_fn=vjp, colnorms_fn=colnorms

@@ -11,10 +11,12 @@ HBM pass. The reference uses LAPACK's *pivoted* Cholesky (pstrf) on the
 possibly-singular Gauss-Newton system (reference :33); XLA's Cholesky is
 unpivoted, so a jittered retry (taken via lax.cond) covers rank deficiency.
 The retry triggers on *either* a non-finite solve (exactly singular) or a
-pivot-ratio conditioning check (nearly singular: the unpivoted factorization
-then succeeds but returns a finite garbage step that pivoted pstrf would
-have truncated — min L_ii^2 <= tol * max L_ii^2 is the standard
-rank-tolerance test on Cholesky pivots).
+scale-invariant pivot *survival* test (nearly singular: the unpivoted
+factorization then succeeds but returns a finite garbage step that pivoted
+pstrf would have truncated). The test compares each pivot to its own
+original diagonal entry — L_ii^2 / G_ii > 100 n eps — i.e. the pivot of
+the diagonally equilibrated matrix, so bad column *scaling* alone never
+trips it (see _solve_spd).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from jax.scipy.linalg import solve_triangular
 from ..ops.gram import gram_and_rhs
 from ..ops.linalg import (
     UNROLLED_SOLVE_MAX_N,
+    scaled_tikhonov_jitter,
     unrolled_chol_solve,
     unrolled_chol_solve_with_diag,
 )
@@ -71,13 +74,7 @@ def _solve_spd(gram, rhs):
     ok = jnp.all(jnp.isfinite(dx)) & (jnp.min(survival) > 100.0 * n * eps)
 
     def fallback():
-        # Per-column relative jitter (scaled Tikhonov): truncates directions
-        # below ~sqrt(100 n eps) of their own column scale — the behavior of
-        # pivoted Cholesky's trailing-block truncation — without letting the
-        # large columns' scale swamp the small ones. The additive floor
-        # covers exactly-zero columns.
-        floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
-        jitter = (100.0 * n * eps) * (d + floor)
+        jitter = scaled_tikhonov_jitter(gram)
         return _chol_solve(gram + jnp.diag(jitter), rhs)
 
     return jax.lax.cond(ok, lambda: dx, fallback)

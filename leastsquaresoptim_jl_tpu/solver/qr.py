@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..ops.gram import gram_and_rhs
-from ..ops.linalg import UNROLLED_SOLVE_MAX_N, unrolled_chol_solve
+from ..ops.linalg import (
+    UNROLLED_SOLVE_MAX_N,
+    scaled_tikhonov_jitter,
+    unrolled_chol_solve,
+)
 
 
 def _spd_solve(gram, rhs):
@@ -43,16 +47,9 @@ def _spd_solve(gram, rhs):
 
 def _jittered_normal_solve(J, y):
     """Fallback for (near-)rank-deficient J: scaled-Tikhonov normal
-    equations (J'J + 100 n eps (diag(J'J) + floor)) dx = J'y — truncates
-    directions below ~sqrt(100 n eps) of their own column scale, matching
-    pivoted-QR trailing-block behavior without swamping small columns."""
+    equations (see ops/linalg.scaled_tikhonov_jitter)."""
     gram, rhs = gram_and_rhs(J, y)
-    n = gram.shape[0]
-    eps = jnp.finfo(gram.dtype).eps
-    d = jnp.diagonal(gram)
-    floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
-    jitter = (100.0 * n * eps) * (d + floor)
-    gram = gram + jnp.diag(jitter)
+    gram = gram + jnp.diag(scaled_tikhonov_jitter(gram))
     return _spd_solve(gram, rhs)
 
 

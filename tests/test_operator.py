@@ -123,6 +123,13 @@ def test_matrix_free_problem_validation():
         lso.matrix_free_problem(
             f=_residual, x=jnp.zeros(_n), output_length=_n, jvp=_jvp
         )
+    # hooks work in the flat vector space: pytree params are rejected even
+    # for a colnorms-only hook (it would be handed the raveled array)
+    with pytest.raises(ValueError, match="flat vector"):
+        lso.matrix_free_problem(
+            f=lambda p: p["a"] - 1.0, x={"a": jnp.zeros(3)},
+            output_length=3, colnorms=lambda p: jnp.ones(3),
+        )
     # operator problems are LSMR-only, like the reference (types.jl:121)
     p = lso.matrix_free_problem(
         f=_residual, x=jnp.zeros(_n), output_length=_n,
