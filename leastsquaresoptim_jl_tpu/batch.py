@@ -154,19 +154,23 @@ def _solve_batch_fraction(
     elem_step = vmapped(2)
     elem_final = vmapped(3)
 
-    def cond(c):
-        done = ~elem_active(c)
+    # Thread the per-element active mask through the outer carry so each
+    # iteration evaluates it once (body) instead of twice (cond + body).
+    def cond(state):
+        _, active = state
+        done = ~active
         return jnp.mean(done.astype(jnp.float32)) < frac
 
-    def body(c):
-        active = elem_active(c)
+    def body(state):
+        c, active = state
         new = elem_step(c)
 
         def freeze(old, new_leaf):
             mask = active.reshape(active.shape + (1,) * (new_leaf.ndim - 1))
             return jnp.where(mask, new_leaf, old)
 
-        return jax.tree_util.tree_map(freeze, c, new)
+        merged = jax.tree_util.tree_map(freeze, c, new)
+        return merged, elem_active(merged)
 
-    out = jax.lax.while_loop(cond, body, carry0)
+    out, _ = jax.lax.while_loop(cond, body, (carry0, elem_active(carry0)))
     return elem_final(out)

@@ -56,9 +56,9 @@ def default_tolerances(dtype):
     generically), so the f-criterion floor always sits a small multiple
     above that dtype's reduction noise.
     """
-    import numpy as _np
+    import jax.numpy as _jnp  # jnp.finfo understands ml_dtypes (bf16/f16)
 
-    info = _np.finfo(dtype)
+    info = _jnp.finfo(dtype)
     if info.bits >= 64:
         return DEFAULT_X_TOL, DEFAULT_F_TOL, DEFAULT_G_TOL
     if info.bits == 32:

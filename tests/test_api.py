@@ -223,3 +223,19 @@ def test_polish_refines_f32_minimizer():
     assert err < err32
     # polish result is f64
     assert np.asarray(r.minimizer).dtype == np.float64
+
+
+def test_dtype_scaled_tolerance_defaults():
+    """config.default_tolerances: f64 keeps reference parity (1e-8), f32
+    uses the tuned constants, lower-precision dtypes get eps-scaled floors
+    (never an f32 constant below their own noise floor)."""
+    from leastsquaresoptim_jl_tpu import config
+
+    assert config.default_tolerances(np.float64) == (1e-8, 1e-8, 1e-8)
+    assert config.default_tolerances(np.float32) == (
+        config.F32_X_TOL, config.F32_F_TOL, config.F32_G_TOL
+    )
+    x_tol, f_tol, g_tol = config.default_tolerances(jnp.bfloat16)
+    eps = float(jnp.finfo(jnp.bfloat16).eps)
+    assert f_tol == 8.0 * eps and x_tol == 8.0 * eps and g_tol == 80.0 * eps
+    assert f_tol > eps  # a criterion that can actually fire
