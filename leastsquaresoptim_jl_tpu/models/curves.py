@@ -106,6 +106,8 @@ def curve_fit_batch(
     lower=None,
     upper=None,
     min_converged_fraction: Optional[float] = None,
+    loss="linear",
+    f_scale: float = 1.0,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
@@ -138,6 +140,14 @@ def curve_fit_batch(
             return yd - model(xd, beta)
         xd, yd, wd = d
         return wd * (yd - model(xd, beta))
+
+    if loss != "linear":
+        # robustify wraps f(beta, d); partial-apply per data element so the
+        # transform sees the full (beta, d) signature (loss.py is exact and
+        # AD-differentiated, same as the single-fit path).
+        from ..loss import robustify
+
+        f = robustify(f, loss, f_scale)
 
     return solve_batch(
         f, p0, data, optimizer,

@@ -151,3 +151,29 @@ def test_covariance_pytree_minimizer():
     assert isinstance(r.minimizer, dict)
     cov = covariance(r, problem=prob)
     assert cov.shape == (2, 2) and onp.all(onp.isfinite(cov))
+
+
+def test_curve_fit_batch_robust_loss():
+    """loss= in the batched front end: contaminated fits recover the clean
+    parameters, matching single-fit robust results."""
+    import jax
+    import numpy as onp
+
+    B, m = 6, 40
+    x = jnp.linspace(1.0, 60.0, m)
+    scales = jnp.linspace(200.0, 300.0, B)
+    Y = jax.vmap(lambda s: s * (1 - jnp.exp(-5e-4 * x)))(scales)
+    Y = Y.at[:, 3].set(1000.0)  # gross outlier in every fit
+    P0 = jnp.stack([jnp.full((B,), 150.0), jnp.full((B,), 1e-3)], 1)
+    raw = lso.curve_fit_batch(
+        "exp_saturation", x, Y, P0, loss="cauchy", f_scale=0.5
+    )
+    assert onp.all(onp.asarray(raw["converged"]))
+    mins = onp.asarray(raw["minimizer"])
+    assert onp.allclose(mins[:, 0], onp.asarray(scales), rtol=1e-3)
+    assert onp.allclose(mins[:, 1], 5e-4, rtol=1e-3)
+    # parity with the single-fit robust path
+    r0 = lso.curve_fit(
+        "exp_saturation", x, Y[0], P0[0], loss="cauchy", f_scale=0.5
+    )
+    assert onp.allclose(mins[0], onp.asarray(r0.minimizer), rtol=1e-6)
