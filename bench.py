@@ -118,7 +118,7 @@ def main():
     # Chain R full batches inside one dispatch (lax.map over perturbed
     # starts): a single dispatch through the axon tunnel costs ~40 ms of
     # fixed latency, so unchained timing mostly measures the tunnel.
-    R = 5
+    R = 10
     perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
 
     def run_batches(x0, d):
@@ -155,8 +155,11 @@ def main():
         file=sys.stderr,
     )
 
-    # Ablation: the batched-mode reuse fix (unconditional J/cond branches in
-    # vmap lockstep) vs the single-solve code path under plain vmap.
+    # Ablation (opt-in via --ablation: two extra program compiles through
+    # the remote-compile tunnel cost minutes cold — keep the driver's
+    # headline run to one program): the batched-mode reuse fix
+    # (unconditional J/cond branches in vmap lockstep) vs the single-solve
+    # code path under plain vmap. Measured 2026-08-17: 1.7x.
     def bench_variant(batched):
         def one(x0, d):
             prob = lso.least_squares_problem(
@@ -180,13 +183,14 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_cond = bench_variant(False)
-    t_hoist = bench_variant(True)
-    print(
-        f"ablation (plain vmap, all-converge): cond-in-vmap {t_cond:.3f}s "
-        f"vs hoisted {t_hoist:.3f}s -> {t_cond / t_hoist:.2f}x",
-        file=sys.stderr,
-    )
+    if "--ablation" in sys.argv:
+        t_cond = bench_variant(False)
+        t_hoist = bench_variant(True)
+        print(
+            f"ablation (plain vmap, all-converge): cond-in-vmap {t_cond:.3f}s "
+            f"vs hoisted {t_hoist:.3f}s -> {t_cond / t_hoist:.2f}x",
+            file=sys.stderr,
+        )
 
     # NumPy baseline on a subsample, extrapolated.
     nb = 50
