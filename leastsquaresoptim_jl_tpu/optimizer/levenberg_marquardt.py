@@ -95,6 +95,11 @@ def loop_pieces(
         jstate0 = jnp.zeros((m, n), dt)
         need_jacobian0 = True
 
+    # Column norms ride the carry so rejected steps reuse them: the
+    # linearization point is unchanged there, and in matrix-free mode a
+    # fresh colnorms2() costs 32 Hutchinson rmatvec probes per iteration
+    # (the reference recomputes colsumabs2! each iteration, :82, but its J
+    # is materialized so that is one cheap column reduction).
     carry = dict(
         x=x,
         fcur=fcur,
@@ -103,6 +108,13 @@ def loop_pieces(
         decrease_factor=jnp.asarray(2.0, dt),
         need_jacobian=jnp.asarray(need_jacobian0, bool),
         jstate=jstate0,
+        # need_jacobian0=False (sparse seeded carry) reuses the carried
+        # colnorms at iteration 1, so seed them from the seeded Jacobian.
+        dtd_raw=(
+            jnp.zeros((n,), dt)
+            if need_jacobian0
+            else operators.from_matrix(jstate0).colnorms2()
+        ),
         maxabs_gr=jnp.asarray(jnp.inf, dt),
         it=jnp.int32(0),
         x_converged=false,
@@ -150,8 +162,17 @@ def loop_pieces(
                 op = operators.for_problem(problem, jstate)
         g_calls = c["g_calls"] + c["need_jacobian"].astype(jnp.int32)
 
-        # Scale-invariant damping diagonal (reference :82-86).
-        dtd = op.colnorms2()
+        # Scale-invariant damping diagonal (reference :82-86). Fresh only at
+        # a fresh linearization point; on rejected steps the carried value
+        # is bitwise-identical and (matrix-free) 32 probes cheaper. Batched
+        # mode recomputes — in lockstep both cond branches would run anyway.
+        if batched:
+            dtd_raw = op.colnorms2()
+        else:
+            dtd_raw = jax.lax.cond(
+                c["need_jacobian"], op.colnorms2, lambda: c["dtd_raw"]
+            )
+        dtd = dtd_raw
         dtd_mean = jnp.mean(dtd)
         dtd = jnp.clip(
             dtd, config.MIN_DIAGONAL * dtd_mean, config.MAX_DIAGONAL * dtd_mean
@@ -259,6 +280,7 @@ def loop_pieces(
             ),
             need_jacobian=accepted,
             jstate=jstate,
+            dtd_raw=dtd_raw,
             maxabs_gr=maxabs_gr,
             it=it,
             x_converged=flags.x_converged,
