@@ -83,6 +83,12 @@ def main():
 
     arg_sets = [(J, y), (J, y * np.float32(1.0000001))]
     t_fused = _time(chain(gram_and_rhs), arg_sets) / K
+    # The opt-in Pallas kernel (demoted from auto-engage in round 2 after
+    # measuring ~parity; keep it exercised and honestly compared here).
+    import functools
+    t_pallas = _time(
+        chain(functools.partial(gram_and_rhs, use_pallas=True)), arg_sets
+    ) / K
     bytes_min = m * n * 4  # roofline: single read of J
     gbs = bytes_min / t_fused / 1e9
 
@@ -107,6 +113,7 @@ def main():
                 "value": round(gbs, 1),
                 "unit": (
                     f"GB/s effective (m={m}, n={n}, f32; "
+                    f"pallas opt-in {bytes_min / t_pallas / 1e9:.0f} GB/s; "
                     f"{100 * sol_frac:.0f}% of measured copy speed-of-light "
                     f"{copy_gbs:.0f} GB/s)"
                 ),
