@@ -95,6 +95,41 @@ def unrolled_chol_solve(gram, rhs):
     return unrolled_chol_solve_with_diag(gram, rhs)[0]
 
 
+def unrolled_mgs_solve(A, b):
+    """Least-squares solve min ||A x - b|| via modified Gram-Schmidt QR,
+    fully unrolled over the (static, small) column dimension.
+
+    Batched-safe by construction: every intermediate is (..., m)-shaped
+    elementwise/reduction VPU work, so under vmap there are no batched
+    LAPACK-style kernels — XLA's batched QR cannot even compile at large
+    batch x small n (see batch.py), and the normal-equations route squares
+    the conditioning (decisive in f32: MGS keeps solve error ~eps*cond(A)
+    instead of ~eps*cond(A)^2). Also returns |diag(R)| for conditioning
+    checks (R_jj = the norm of column j after orthogonalization against
+    columns 0..j-1).
+    """
+    n = A.shape[-1]
+    cols = [A[..., :, j] for j in range(n)]
+    q = []
+    R = [[None] * n for _ in range(n)]
+    for j in range(n):
+        v = cols[j]
+        for i in range(j):
+            R[i][j] = jnp.sum(q[i] * v, axis=-1)
+            v = v - R[i][j][..., None] * q[i]
+        R[j][j] = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        q.append(v / R[j][j][..., None])
+    z = [jnp.sum(q[j] * b, axis=-1) for j in range(n)]
+    x = [None] * n
+    for j in reversed(range(n)):
+        s = z[j]
+        for k in range(j + 1, n):
+            s = s - R[j][k] * x[k]
+        x[j] = s / R[j][j]
+    rdiag = jnp.stack([R[j][j] for j in range(n)], axis=-1)
+    return jnp.stack(x, axis=-1), jnp.abs(rdiag)
+
+
 def scaled_tikhonov_jitter(gram):
     """Per-column relative jitter for (near-)semidefinite normal systems:
     100 n eps (diag(G) + floor). Adding it truncates directions below

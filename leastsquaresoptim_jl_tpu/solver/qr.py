@@ -34,6 +34,7 @@ from ..ops.linalg import (
     UNROLLED_SOLVE_MAX_N,
     scaled_tikhonov_jitter,
     unrolled_chol_solve,
+    unrolled_mgs_solve,
 )
 
 
@@ -68,9 +69,17 @@ def solve_gn(J, y):
         jitter = jnp.maximum(jnp.trace(row_gram) / m, 1.0) * eps * 100.0
         w = _spd_solve(row_gram + jitter * jnp.eye(m, dtype=J.dtype), y)
         return J.T @ w, jnp.int32(1)
-    q, r = jnp.linalg.qr(J, mode="reduced")
-    qty = q.T @ y
-    dx = solve_triangular(r, qty, lower=False)
+    if n <= UNROLLED_SOLVE_MAX_N:
+        # Small parameter counts: unrolled modified-Gram-Schmidt QR — the
+        # batched-safe route (XLA's batched Householder QR cannot compile
+        # at large B x tiny n), with true QR conditioning (error ~eps*cond,
+        # not the normal equations' eps*cond^2).
+        dx, rdiag = unrolled_mgs_solve(J, y)
+    else:
+        q, r = jnp.linalg.qr(J, mode="reduced")
+        qty = q.T @ y
+        dx = solve_triangular(r, qty, lower=False)
+        rdiag = jnp.abs(jnp.diagonal(r))
     # Scale-invariant conditioning test: |R_ii| / ||J e_i|| is the fraction
     # of column i surviving orthogonalization against columns 1..i-1
     # (R_ii = the column's norm for i=1). Near-rank-deficiency drives it to
@@ -78,7 +87,7 @@ def solve_gn(J, y):
     eps = jnp.finfo(J.dtype).eps
     tiny = jnp.asarray(jnp.finfo(J.dtype).tiny, J.dtype)
     colnorm = jnp.sqrt(jnp.sum(J * J, axis=0))
-    survival = jnp.abs(jnp.diagonal(r)) / jnp.maximum(colnorm, tiny)
+    survival = rdiag / jnp.maximum(colnorm, tiny)
     ok = jnp.all(jnp.isfinite(dx)) & (jnp.min(survival) > 100.0 * n * eps)
     dx = jax.lax.cond(ok, lambda: dx, lambda: _jittered_normal_solve(J, y))
     return dx, jnp.int32(1)
@@ -86,10 +95,14 @@ def solve_gn(J, y):
 
 def solve_damped(J, y, damp):
     """Damped solve via QR of the stacked system [J; diag(sqrt(damp))]
-    with rhs [y; 0] (reference: dense_qr.jl:56-88)."""
+    with rhs [y; 0] (reference: dense_qr.jl:56-88). Small n takes the
+    batched-safe unrolled MGS route (see solve_gn)."""
     n = J.shape[1]
     stacked = jnp.concatenate([J, jnp.diag(jnp.sqrt(damp))], axis=0)
     rhs = jnp.concatenate([y, jnp.zeros((n,), dtype=y.dtype)], axis=0)
+    if n <= UNROLLED_SOLVE_MAX_N:
+        dx, _ = unrolled_mgs_solve(stacked, rhs)
+        return dx, jnp.int32(1)
     q, r = jnp.linalg.qr(stacked, mode="reduced")
     qty = q.T @ rhs
     dx = solve_triangular(r, qty, lower=False)

@@ -201,3 +201,35 @@ def test_batched_bounded_solves():
         expect_pinned = np.asarray(betas[:, 0] <= 2.6 + 1e-12)
         assert np.array_equal(np.isclose(mins[:, 0], 2.6), expect_pinned)
         assert np.asarray(raw["converged"]).all()
+
+
+def test_batched_qr_at_scale_compiles_and_matches():
+    """QR is now batched-safe at small n via the unrolled MGS solve — XLA's
+    batched Householder QR could not even compile at large B x tiny n
+    (the reason the batched default is Cholesky). Gate: B=20k fits with
+    Dogleg(QR) compile, converge, and match the Cholesky route."""
+    rng = np.random.default_rng(3)
+    B, m = 20_000, 24
+    xdata = jnp.array(np.linspace(1.0, 60.0, m))
+    betas_true = jnp.array(
+        np.stack([rng.uniform(100, 400, B), rng.uniform(2e-4, 2e-3, B)], 1)
+    )
+    ydata = jax.vmap(lambda b: _curve_model(xdata, b))(betas_true)
+    x0s = betas_true * 1.2
+
+    def f(beta, data):
+        xd, yd = data
+        return yd - _curve_model(xd, beta)
+
+    data = (jnp.broadcast_to(xdata, (B, m)), ydata)
+    raw_qr = lso.solve_batch(
+        f, x0s, data, lso.Dogleg(lso.QR()), output_length=m
+    )
+    assert np.asarray(raw_qr["converged"]).all()
+    raw_ch = lso.solve_batch(
+        f, x0s, data, lso.Dogleg(lso.Cholesky()), output_length=m
+    )
+    assert np.allclose(
+        np.asarray(raw_qr["minimizer"]), np.asarray(raw_ch["minimizer"]),
+        rtol=1e-6,
+    )
