@@ -67,11 +67,11 @@ def solve_batch(
         )
     if optimizer is None and materialize_jacobian:
         # Batched default diverges from the single-solve default (QR,
-        # reference src/types.jl:120): XLA's batched QR kernel exhausts
-        # scoped VMEM outright at large batch sizes (fails to compile at
-        # B=50k, m=64, n=2 on v5e) and batched LAPACK-style kernels are
-        # ~20x slower at tiny n regardless; the normal-equations route with
-        # the VPU-unrolled small-n solve is the batched-safe path.
+        # reference src/types.jl:120): the normal-equations route with the
+        # VPU-unrolled small-n solve is the cheapest batched path. QR is
+        # also batched-safe at n <= 8 (unrolled MGS, solver/qr.py) and
+        # worth choosing explicitly for ill-conditioned f32 fits — its
+        # solve error grows ~cond, not the normal equations' cond^2.
         from .optimizer.base import Dogleg
         from .solver.base import Cholesky
 
