@@ -117,9 +117,24 @@ def unrolled_mgs_solve(A, b):
         for i in range(j):
             R[i][j] = jnp.sum(q[i] * v, axis=-1)
             v = v - R[i][j][..., None] * q[i]
+        # One reorthogonalization pass ("twice is enough", Giraud et al.):
+        # plain MGS loses orthogonality ~eps*cond, which shows up as basin
+        # flips on cond~1e10 f32 NIST fits; the second pass restores
+        # Householder-class orthogonality for ~2x the (tiny, n<=8) cost.
+        for i in range(j):
+            c = jnp.sum(q[i] * v, axis=-1)
+            R[i][j] = R[i][j] + c
+            v = v - c[..., None] * q[i]
         R[j][j] = jnp.sqrt(jnp.sum(v * v, axis=-1))
         q.append(v / R[j][j][..., None])
-    z = [jnp.sum(q[j] * b, axis=-1) for j in range(n)]
+    # Project the rhs with progressive deflation (b shrinks as components
+    # are removed — numerically better than dotting the original b).
+    bb = b
+    z = []
+    for j in range(n):
+        zj = jnp.sum(q[j] * bb, axis=-1)
+        z.append(zj)
+        bb = bb - zj[..., None] * q[j]
     x = [None] * n
     for j in reversed(range(n)):
         s = z[j]
