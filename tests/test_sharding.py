@@ -149,9 +149,12 @@ def test_collective_structure_full_solve_loop():
       * inner LSMR body: exactly 2 all-reduce ops — J'u (rmatvec) and the
         u-space norm beta; Jv and all v-space scalars are local. They are
         data-dependent, so XLA cannot merge them.
-      * outer LM body: exactly 4 — the gradient J'f rmatvec, LSMR-init
-        ||b|| and init rmatvec, and one tuple all-reduce where XLA merges
-        the independent row reductions (trial ssr, ared, pred, colnorms).
+      * outer LM body: exactly 5 — the column norms (inside the
+        need_jacobian lax.cond, so rejected steps skip both its compute
+        and its collective — the colnorms-carry reuse), the gradient J'f
+        rmatvec, LSMR-init ||b|| and init rmatvec, and one tuple all-reduce
+        where XLA merges the remaining independent row reductions
+        (trial ssr, ared, pred).
       * one initial-ssr all-reduce outside both loops.
     A regression here means a sharding annotation leaked and XLA started
     gathering rows instead of reducing partials.
@@ -193,7 +196,7 @@ def test_collective_structure_full_solve_loop():
     ]
     outside = [p for p in paths if "/while/body/" not in p]
     assert len(inner_body) == 2, (inner_body, paths)
-    assert len(outer_body) == 4, (outer_body, paths)
+    assert len(outer_body) == 5, (outer_body, paths)
     assert len(outside) == 1, (outside, paths)
     # no row gathers anywhere: scale-out must reduce, never materialize
     assert "all-gather" not in txt
