@@ -3,8 +3,9 @@
 The Gram formation is the hot op of the normal-equations path (SURVEY.md
 §2 C9). For m >> n it is bandwidth-bound: the roofline minimum HBM traffic
 is one read of J (m*n*4 bytes in f32). This bench measures achieved GB/s of
-the fused kernel (ops/gram.py auto-selects Pallas on TPU) against the
-chip's measured copy bandwidth, reporting the speed-of-light fraction.
+the default XLA path AND the opt-in Pallas kernel (round 2 demoted the
+kernel from auto-engage after measuring parity — see ops/gram.py) against
+the chip's measured copy bandwidth, reporting the speed-of-light fraction.
 
 Prints one JSON line; vs_baseline = fused-kernel time advantage over the
 two-pass XLA form (J.T@J then J.T@y as separate non-fused calls).

@@ -108,13 +108,6 @@ def loop_pieces(
         decrease_factor=jnp.asarray(2.0, dt),
         need_jacobian=jnp.asarray(need_jacobian0, bool),
         jstate=jstate0,
-        # need_jacobian0=False (sparse seeded carry) reuses the carried
-        # colnorms at iteration 1, so seed them from the seeded Jacobian.
-        dtd_raw=(
-            jnp.zeros((n,), dt)
-            if need_jacobian0
-            else operators.from_matrix(jstate0).colnorms2()
-        ),
         maxabs_gr=jnp.asarray(jnp.inf, dt),
         it=jnp.int32(0),
         x_converged=false,
@@ -126,6 +119,18 @@ def loop_pieces(
         mul_calls=jnp.int32(0),
         trace=trace,
     )
+    if not batched:
+        # Batched lockstep recomputes colnorms every iteration (both cond
+        # branches would run anyway), so the carry leaf exists only in the
+        # sequential trace — a dead (B, n) leaf would still be masked and
+        # rewritten per iteration by the fraction-stop freeze.
+        # need_jacobian0=False (sparse seeded carry) reuses the carried
+        # colnorms at iteration 1, so seed them from the seeded Jacobian.
+        carry["dtd_raw"] = (
+            jnp.zeros((n,), dt)
+            if need_jacobian0
+            else operators.from_matrix(jstate0).colnorms2()
+        )
 
     def cond_fn(c):
         # Non-finite iterates halt the loop: the jit-safe analogue of the
@@ -280,7 +285,6 @@ def loop_pieces(
             ),
             need_jacobian=accepted,
             jstate=jstate,
-            dtd_raw=dtd_raw,
             maxabs_gr=maxabs_gr,
             it=it,
             x_converged=flags.x_converged,
@@ -292,6 +296,8 @@ def loop_pieces(
             mul_calls=mul_calls,
             trace=c["trace"],
         )
+        if not batched:
+            new["dtd_raw"] = dtd_raw
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
         return new
 

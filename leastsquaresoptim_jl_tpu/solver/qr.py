@@ -73,7 +73,10 @@ def solve_gn(J, y):
         # Small parameter counts: unrolled modified-Gram-Schmidt QR — the
         # batched-safe route (XLA's batched Householder QR cannot compile
         # at large B x tiny n), with true QR conditioning (error ~eps*cond,
-        # not the normal equations' eps*cond^2).
+        # not the normal equations' eps*cond^2). An overflowed column norm
+        # (R_jj=inf, q_j=0) yields a finite-but-zero dx; rdiag is part of
+        # the `ok` test below so that case takes the fallback, not a
+        # silent zero step.
         dx, rdiag = unrolled_mgs_solve(J, y)
     else:
         q, r = jnp.linalg.qr(J, mode="reduced")
@@ -88,7 +91,11 @@ def solve_gn(J, y):
     tiny = jnp.asarray(jnp.finfo(J.dtype).tiny, J.dtype)
     colnorm = jnp.sqrt(jnp.sum(J * J, axis=0))
     survival = rdiag / jnp.maximum(colnorm, tiny)
-    ok = jnp.all(jnp.isfinite(dx)) & (jnp.min(survival) > 100.0 * n * eps)
+    ok = (
+        jnp.all(jnp.isfinite(dx))
+        & jnp.all(jnp.isfinite(rdiag))
+        & (jnp.min(survival) > 100.0 * n * eps)
+    )
     dx = jax.lax.cond(ok, lambda: dx, lambda: _jittered_normal_solve(J, y))
     return dx, jnp.int32(1)
 
@@ -101,7 +108,13 @@ def solve_damped(J, y, damp):
     stacked = jnp.concatenate([J, jnp.diag(jnp.sqrt(damp))], axis=0)
     rhs = jnp.concatenate([y, jnp.zeros((n,), dtype=y.dtype)], axis=0)
     if n <= UNROLLED_SOLVE_MAX_N:
-        dx, _ = unrolled_mgs_solve(stacked, rhs)
+        dx, rdiag = unrolled_mgs_solve(stacked, rhs)
+        # f32 overflow in a column norm gives R_jj=inf -> q_j=0 -> a
+        # silently *finite* zero step; surface it as NaN so the loop halts
+        # with STATUS_NOT_FINITE exactly like the Householder path did.
+        dx = jnp.where(
+            jnp.all(jnp.isfinite(rdiag)), dx, jnp.full_like(dx, jnp.nan)
+        )
         return dx, jnp.int32(1)
     q, r = jnp.linalg.qr(stacked, mode="reduced")
     qty = q.T @ rhs
