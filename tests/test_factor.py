@@ -133,3 +133,29 @@ def test_unrolled_mgs_matches_lstsq():
         ref = onp.linalg.lstsq(onp.asarray(As[i]), onp.asarray(bs[i]),
                                rcond=None)[0]
         assert onp.allclose(onp.asarray(xs[i]), ref, rtol=1e-9)
+
+
+def test_damped_mgs_overflow_surfaces_nonfinite():
+    """f32 column-norm overflow in the damped small-n QR solve must surface
+    as NaN (halting the loop with STATUS_NOT_FINITE), never as a silently
+    finite zero step (second-review regression)."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.solver import qr as qr_mod
+
+    J = jnp.eye(4, dtype=jnp.float32) * jnp.float32(1e20)  # norm^2 overflows
+    y = jnp.ones(4, jnp.float32)
+    damp = jnp.ones(4, jnp.float32)
+    dx, _ = qr_mod.solve_damped(J, y, damp)
+    assert not onp.any(onp.isfinite(onp.asarray(dx)))
+    # sane inputs stay exact
+    J2 = jnp.asarray(onp.random.default_rng(0).normal(size=(12, 4)),
+                     jnp.float64)
+    y2 = jnp.ones(12, jnp.float64)
+    dx2, _ = qr_mod.solve_damped(J2, y2, jnp.full(4, 0.1, jnp.float64))
+    stacked = onp.vstack([onp.asarray(J2), onp.diag(onp.sqrt(0.1) *
+                                                    onp.ones(4))])
+    ref = onp.linalg.lstsq(stacked, onp.concatenate([onp.asarray(y2),
+                                                     onp.zeros(4)]),
+                           rcond=None)[0]
+    assert onp.allclose(onp.asarray(dx2), ref, rtol=1e-10)
