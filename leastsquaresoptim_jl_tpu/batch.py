@@ -114,6 +114,10 @@ def _solve_batch_fraction(
     from .optimizer import levenberg_marquardt as _lm
     from .optimizer.base import Dogleg, LevenbergMarquardt, resolve
 
+    if x0_batch.shape[0] == 0:
+        raise ValueError(
+            "solve_batch got an empty batch (x0_batch.shape[0] == 0)"
+        )
     probe_x0 = x0_batch[0]
     probe_data = (
         None if data_batch is None
@@ -123,9 +127,12 @@ def _solve_batch_fraction(
         )
     )
     optimizer = resolve(optimizer, problem_for(probe_x0, probe_data))
-    pieces_mod = (
-        _lm if isinstance(optimizer, LevenbergMarquardt) else _dogleg
-    )
+    if isinstance(optimizer, LevenbergMarquardt):
+        pieces_mod = _lm
+    elif isinstance(optimizer, Dogleg):
+        pieces_mod = _dogleg
+    else:
+        raise TypeError(f"unknown optimizer {optimizer!r}")
 
     def pieces(x0, data):
         return pieces_mod.loop_pieces(
@@ -156,10 +163,17 @@ def _solve_batch_fraction(
 
     # Thread the per-element active mask through the outer carry so each
     # iteration evaluates it once (body) instead of twice (cond + body).
+    # Integer-count comparison: an f32 mean of a >2^24-element mask rounds,
+    # which can stop a frac=1.0 batch a few fits early (or late).
+    import math
+
+    B = x0_batch.shape[0]
+    need = jnp.int32(min(B, int(math.ceil(frac * B))))
+
     def cond(state):
         _, active = state
         done = ~active
-        return jnp.mean(done.astype(jnp.float32)) < frac
+        return jnp.sum(done.astype(jnp.int32)) < need
 
     def body(state):
         c, active = state

@@ -18,11 +18,11 @@ MIN_DIAGONAL = 1e-6
 MAX_DIAGONAL = 1e32
 
 # Dogleg trust-region thresholds (reference: src/optimizer/dogleg.jl:38-39).
+# (The reference also defines a GOOD_STEP_QUALITY = 0.75 for LM, but its LM
+# loop never reads it — the Ceres radius formula replaces it — so it is not
+# mirrored here.)
 DECREASE_THRESHOLD = 0.25
 INCREASE_THRESHOLD = 0.75
-
-# LM "good step" threshold (reference: src/optimizer/levenberg_marquardt.jl:37).
-GOOD_STEP_QUALITY = 0.75
 
 # Default convergence tolerances and iteration cap
 # (reference: src/types.jl:196-199). These are the f64 values — the

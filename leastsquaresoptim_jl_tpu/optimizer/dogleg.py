@@ -124,6 +124,9 @@ def loop_pieces(
         f_calls=jnp.int32(1),
         g_calls=jnp.int32(0),
         mul_calls=jnp.int32(0),
+        # Stop reason of the most recent inner Gauss-Newton solve (LSMR
+        # istop, -1 for direct solvers); surfaced as ``inner_istop``.
+        inner_istop=jnp.int32(-1),
         trace=trace,
     )
 
@@ -177,19 +180,19 @@ def loop_pieces(
             wnorm_dgr = wnorm(dgr, dtd)
             jdgr = op.matvec(dgr)
             alpha = wnorm_dgr**2 / sumabs2(jdgr)  # Cauchy length (:109-111)
-            dgn, ls_iter = solve_gn(op, fcur)
+            dgn, ls_iter, istop_gn = solve_gn(op, fcur)
             wnorm_dgn = wnorm(dgn, dtd)
             mul_inc = jnp.int32(2) + ls_iter
             return (
                 dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
-                maxabs_gr, jnp.int32(1), mul_inc,
+                maxabs_gr, jnp.int32(1), mul_inc, istop_gn,
             )
 
         def reused():
             return (
                 c["dtd"], c["delta"], c["dgr"], c["dgn"], c["alpha"],
                 c["wnorm_dgn"], c["wnorm_dgr"], c["maxabs_gr"],
-                jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), c["inner_istop"],
             )
 
         if batched:
@@ -197,14 +200,14 @@ def loop_pieces(
             # counters still follow the reference's reuse accounting.
             (
                 dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
-                maxabs_gr, g_inc, mul_inc,
+                maxabs_gr, g_inc, mul_inc, inner_istop,
             ) = expensive()
             g_inc = jnp.where(c["reuse"], 0, g_inc)
             mul_inc = jnp.where(c["reuse"], 0, mul_inc)
         else:
             (
                 dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
-                maxabs_gr, g_inc, mul_inc,
+                maxabs_gr, g_inc, mul_inc, inner_istop,
             ) = jax.lax.cond(c["reuse"], reused, expensive)
         g_calls = c["g_calls"] + g_inc
         mul_calls = c["mul_calls"] + mul_inc
@@ -261,7 +264,7 @@ def loop_pieces(
                 damp_mask = jnp.where(
                     binds, jnp.asarray(freeze, dt), jnp.finfo(dt).eps * dtd
                 )
-                dgn2, it2 = solve_damped(op, f_shift, damp_mask)
+                dgn2, it2, _ = solve_damped(op, f_shift, damp_mask)
                 dx2 = jnp.where(binds, jnp.zeros_like(dx), dgn2)
                 # Scale the free part against the *remaining* radius after
                 # the pinned part: scaling by delta/wnorm(dx_a + dx2) would
@@ -344,6 +347,7 @@ def loop_pieces(
             f_calls=f_calls,
             g_calls=g_calls,
             mul_calls=mul_calls,
+            inner_istop=inner_istop,
             trace=c["trace"],
         )
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
@@ -366,6 +370,7 @@ def loop_pieces(
             f_calls=out["f_calls"],
             g_calls=out["g_calls"],
             mul_calls=out["mul_calls"],
+            inner_istop=out["inner_istop"],
             maxabs_gr=out["maxabs_gr"],
             trace=out["trace"],
             status=status,

@@ -117,6 +117,11 @@ def loop_pieces(
         f_calls=jnp.int32(1),
         g_calls=jnp.int32(0 if need_jacobian0 else 1),  # seed eval counts
         mul_calls=jnp.int32(0),
+        # Stop reason of the most recent inner solve (LSMR istop, -1 for
+        # direct solvers) — the reference returns a ConvergenceHistory per
+        # inner solve (src/utils/lsmr.jl:9-14,234-237); here the last one
+        # rides the carry into the result as ``inner_istop``.
+        inner_istop=jnp.int32(-1),
         trace=trace,
     )
     if not batched:
@@ -186,7 +191,7 @@ def loop_pieces(
 
         # Damped inner solve (reference :87) + box clip (:89-98).
         with jax.named_scope("lm/inner_solve"):
-            dx, lmiter = solve_damped(op, fcur, damp)
+            dx, lmiter, inner_istop = solve_damped(op, fcur, damp)
         mul_calls = c["mul_calls"] + lmiter
         if lower is not None or upper is not None:
             # Active-set refinement (improvement over the reference, whose
@@ -214,7 +219,7 @@ def loop_pieces(
                     jnp.asarray(jnp.finfo(dt).max, dt) / 16,
                 )
                 damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp)
-                dx2, it2 = solve_damped(op, f_shift, damp2)
+                dx2, it2, _ = solve_damped(op, f_shift, damp2)
                 dx_full = dx_a + jnp.where(binds, jnp.zeros_like(dx), dx2)
                 return (
                     clip_step_to_bounds(dx_full, x, lower, upper),
@@ -294,6 +299,7 @@ def loop_pieces(
             f_calls=f_calls,
             g_calls=g_calls,
             mul_calls=mul_calls,
+            inner_istop=inner_istop,
             trace=c["trace"],
         )
         if not batched:
@@ -318,6 +324,7 @@ def loop_pieces(
             f_calls=out["f_calls"],
             g_calls=out["g_calls"],
             mul_calls=out["mul_calls"],
+            inner_istop=out["inner_istop"],
             maxabs_gr=out["maxabs_gr"],
             trace=out["trace"],
             status=status,

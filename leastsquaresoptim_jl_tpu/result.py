@@ -95,6 +95,12 @@ class LeastSquaresResult:
     g_calls: int
     mul_calls: int
     jacobian: Optional[np.ndarray] = None
+    # Stop reason (istop, Paige-Saunders taxonomy 1..7) of the last inner
+    # LSMR solve; -1 for direct QR/Cholesky solves. istop in {3, 6, 7}
+    # means the inner solver hit its conditioning limit or iteration cap —
+    # the reference exposes the same via ConvergenceHistory
+    # (src/utils/lsmr.jl:9-14,234-237).
+    inner_istop: int = -1
 
     def __repr__(self):
         status = (
@@ -119,6 +125,12 @@ class LeastSquaresResult:
             f"    f(x) calls:    {self.f_calls}\n"
             f"    J(x) calls:    {self.g_calls}\n"
             f"    mul calls:     {self.mul_calls}\n"
+            + (
+                f"    inner istop:   {self.inner_istop}"
+                f"{' (not converged)' if self.inner_istop in (3, 6, 7) else ''}\n"
+                if self.inner_istop >= 0
+                else ""
+            )
         )
 
 
@@ -160,4 +172,5 @@ def result_from_raw(raw, opts, residual_at_min=None) -> LeastSquaresResult:
         g_calls=int(np.asarray(raw["g_calls"])),
         mul_calls=int(np.asarray(raw["mul_calls"])),
         jacobian=_host_jacobian(raw["jacobian"]),
+        inner_istop=int(np.asarray(raw.get("inner_istop", -1))),
     )

@@ -53,13 +53,18 @@ class LSMR(AbstractSolver):
     1/sqrt(colsumabs2(J) + damp) (reference: iterative_lsmr.jl:129-141).
     ``maxiter`` — optional cap on inner iterations (default max(m, n),
     reference: src/utils/lsmr.jl:55).
+    ``conlim`` — condition-number limit triggering istop=3 (default 1e8,
+    reference: src/utils/lsmr.jl:54); the inner stop reason is surfaced in
+    the result as ``inner_istop`` (reference ConvergenceHistory,
+    src/utils/lsmr.jl:9-14).
     """
 
     preconditioner: Optional[Callable] = None
     maxiter: Optional[int] = None
+    conlim: Optional[float] = None
 
     def __hash__(self):
-        return hash((LSMR, self.preconditioner, self.maxiter))
+        return hash((LSMR, self.preconditioner, self.maxiter, self.conlim))
 
 
 def default_solver(solver: Optional[AbstractSolver], problem) -> AbstractSolver:

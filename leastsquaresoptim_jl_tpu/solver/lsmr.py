@@ -49,11 +49,14 @@ def solve_gn(
     *,
     preconditioner: Optional[Callable] = None,
     maxiter: Optional[int] = None,
+    conlim: Optional[float] = None,
 ):
     """Gauss-Newton LSMR solve (reference: iterative_lsmr.jl:179-198).
 
-    Returns (dx, mvps) with mvps = 2 * inner iterations
-    (reference: lsmr.jl:236 surfaced at iterative_lsmr.jl:197).
+    Returns (dx, LSMRStats) with stats.mvps = 2 * inner iterations
+    (reference: lsmr.jl:236 surfaced at iterative_lsmr.jl:197); the stats
+    are the reference's ConvergenceHistory (lsmr.jl:9-14) and the optimizer
+    loops surface stats.istop into the result as ``inner_istop``.
     """
     p = _precond_diag(op, None, preconditioner)
     matvec = lambda v: op.matvec(p * v)
@@ -66,9 +69,9 @@ def solve_gn(
         maxiter=maxiter,
         atol=config.LSMR_ATOL,
         btol=config.LSMR_BTOL,
-        conlim=config.LSMR_CONLIM,
+        conlim=config.LSMR_CONLIM if conlim is None else conlim,
     )
-    return p * xt, stats.mvps
+    return p * xt, stats
 
 
 def solve_damped(
@@ -78,8 +81,12 @@ def solve_damped(
     *,
     preconditioner: Optional[Callable] = None,
     maxiter: Optional[int] = None,
+    conlim: Optional[float] = None,
 ):
-    """Damped (inexact) LSMR solve for LM (reference: iterative_lsmr.jl:238-259)."""
+    """Damped (inexact) LSMR solve for LM (reference: iterative_lsmr.jl:238-259).
+
+    Returns (dx, LSMRStats) — see solve_gn.
+    """
     p = _precond_diag(op, damp, preconditioner)
     sqrt_damp = jnp.sqrt(damp)  # reference mutates damp in place at :252
 
@@ -100,6 +107,6 @@ def solve_damped(
         maxiter=maxiter,
         atol=config.LSMR_ATOL,
         btol=config.LSMR_DAMPED_BTOL,  # btol = 0.5: inexact LM
-        conlim=config.LSMR_CONLIM,
+        conlim=config.LSMR_CONLIM if conlim is None else conlim,
     )
-    return p * xt, stats.mvps
+    return p * xt, stats

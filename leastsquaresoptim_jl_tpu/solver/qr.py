@@ -87,14 +87,20 @@ def solve_gn(J, y):
     # of column i surviving orthogonalization against columns 1..i-1
     # (R_ii = the column's norm for i=1). Near-rank-deficiency drives it to
     # ~eps; bad column *scaling* alone leaves it O(1) and stays exact.
+    # The slack is dtype-aware: 100x in f64 keeps NIST-class cond~1e10
+    # systems on the exact path, but in f32 a 100x slack would reroute
+    # merely-ill-conditioned (cond >~ 1e4) Gauss-Newton solves to the
+    # truncating fallback — exactly the regime QR's ~eps*cond error
+    # advantage exists for — so low precision gets 10x.
     eps = jnp.finfo(J.dtype).eps
+    slack = 100.0 if jnp.finfo(J.dtype).bits >= 64 else 10.0
     tiny = jnp.asarray(jnp.finfo(J.dtype).tiny, J.dtype)
     colnorm = jnp.sqrt(jnp.sum(J * J, axis=0))
     survival = rdiag / jnp.maximum(colnorm, tiny)
     ok = (
         jnp.all(jnp.isfinite(dx))
         & jnp.all(jnp.isfinite(rdiag))
-        & (jnp.min(survival) > 100.0 * n * eps)
+        & (jnp.min(survival) > slack * n * eps)
     )
     dx = jax.lax.cond(ok, lambda: dx, lambda: _jittered_normal_solve(J, y))
     return dx, jnp.int32(1)

@@ -65,7 +65,8 @@ def test_solver_gn_matches_direct():
     solution (reference iterative_lsmr.jl:179-198)."""
     A, b = _random_problem(30, 6, seed=3)
     op = from_matrix(A)
-    dx, mvps = lsmr_solver.solve_gn(op, b)
+    dx, stats = lsmr_solver.solve_gn(op, b)
+    mvps = stats.mvps
     x_ref = jnp.linalg.lstsq(A, b)[0]
     assert np.allclose(dx, x_ref, atol=1e-4)
     assert int(mvps) >= 2
@@ -78,7 +79,7 @@ def test_solver_damped_matches_augmented():
     A, b = _random_problem(30, 6, seed=4)
     damp = jnp.linspace(0.5, 2.0, 6)
     op = from_matrix(A)
-    dx, _ = lsmr_solver.solve_damped(op, b, damp)
+    dx, _stats = lsmr_solver.solve_damped(op, b, damp)
     x_ref = jnp.linalg.solve(A.T @ A + jnp.diag(damp), A.T @ b)
     # btol=0.5 is deliberately inexact — direction should still be close
     assert np.dot(np.asarray(dx), np.asarray(x_ref)) > 0
