@@ -63,6 +63,36 @@ def solve(
     return loop(problem, optimizer.solver, options, lower, upper, x0, batched)
 
 
+# Problem reuse across ``optimize`` calls. ``_compiled_solve`` is keyed on
+# problem *identity* (LeastSquaresProblem is eq=False), so a host verb that
+# rebuilt the problem every call would never hit its own jit cache — the
+# reference avoids this by letting callers keep a
+# LeastSquaresProblemAllocated (src/types.jl:141-160). Here ``optimize``
+# recovers that reuse transparently: problems are cached on the call's
+# *structure* — the user callables by identity plus the x0 pytree
+# structure/shapes/dtypes — so a second call with the same spec reuses the
+# problem object and therefore the compiled executable.
+_PROBLEM_CACHE: "dict" = {}
+_PROBLEM_CACHE_MAX = 128
+
+
+def _problem_cache_key(f, g, output_length, autodiff, materialize_jacobian,
+                       loss, f_scale, x0):
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(x0)
+    try:
+        spec = tuple(
+            (tuple(np.shape(l)), np.result_type(l).str) for l in leaves
+        )
+        key = (f, g, output_length, autodiff, materialize_jacobian,
+               loss, f_scale, treedef, spec)
+        hash(key)
+    except TypeError:
+        return None  # unhashable callable/structure: skip caching
+    return key
+
+
 @functools.lru_cache(maxsize=512)
 def _compiled_solve(problem, optimizer, options, has_lower, has_upper):
     def run(x0, lower, upper):
@@ -192,26 +222,44 @@ def optimize(
     sum(f_scale^2 rho((f_i/f_scale)^2)) and the reported ssr is that robust
     value. A user ``g`` is the Jacobian of the *raw* residual and cannot be
     combined with a non-linear loss (AD handles the transform exactly).
-    """
-    if loss != "linear":
-        if g is not None:
-            raise ValueError(
-                "a user Jacobian g applies to the raw residual; robust "
-                "losses differentiate through the loss transform — drop g "
-                "or use loss='linear'"
-            )
-        from .loss import robustify
 
-        f = robustify(f, loss, f_scale)
-    problem = least_squares_problem(
-        f=f,
-        x=x0,
-        g=g,
-        output_length=output_length,
-        autodiff=autodiff,
-        materialize_jacobian=materialize_jacobian,
+    Repeated calls with the same spec — same ``f``/``g`` objects, same x0
+    structure/shapes/dtypes, same static flags — reuse the cached problem
+    and its compiled executable (zero recompilation; the reference's
+    LeastSquaresProblemAllocated workspace reuse, src/types.jl:141-160).
+    Note this keys on the *identity* of ``f``: a lambda recreated per call
+    defeats it — define the residual once, or use ``optimize_problem``.
+    """
+    key = _problem_cache_key(
+        f, g, output_length, autodiff, materialize_jacobian,
+        loss, f_scale, x0,
     )
-    return optimize_problem(problem, optimizer, **kwargs)
+    problem = _PROBLEM_CACHE.get(key) if key is not None else None
+    if problem is None:
+        base_f = f
+        if loss != "linear":
+            if g is not None:
+                raise ValueError(
+                    "a user Jacobian g applies to the raw residual; robust "
+                    "losses differentiate through the loss transform — drop "
+                    "g or use loss='linear'"
+                )
+            from .loss import robustify
+
+            base_f = robustify(f, loss, f_scale)
+        problem = least_squares_problem(
+            f=base_f,
+            x=x0,
+            g=g,
+            output_length=output_length,
+            autodiff=autodiff,
+            materialize_jacobian=materialize_jacobian,
+        )
+        if key is not None:
+            if len(_PROBLEM_CACHE) >= _PROBLEM_CACHE_MAX:
+                _PROBLEM_CACHE.pop(next(iter(_PROBLEM_CACHE)))
+            _PROBLEM_CACHE[key] = problem
+    return optimize_problem(problem, optimizer, x0=x0, **kwargs)
 
 
 def polish(f, x, optimizer=None, **kwargs) -> LeastSquaresResult:

@@ -155,7 +155,10 @@ def scaled_tikhonov_jitter(gram):
     Shared by the QR and Cholesky fallbacks so both truncate at the same
     threshold."""
     n = gram.shape[-1]
-    eps = jnp.finfo(gram.dtype).eps
+    # float(): finfo.eps for bf16/f16 is an ml_dtypes numpy scalar whose
+    # promotion with jax arrays widens to f32, breaking dtype-stable
+    # lax.cond branches; a python float stays weakly typed.
+    eps = float(jnp.finfo(gram.dtype).eps)
     d = jnp.diagonal(gram)
     floor = eps * jnp.maximum(jnp.trace(gram) / n, 1.0)
     return (100.0 * n * eps) * (d + floor)

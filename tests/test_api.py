@@ -239,3 +239,29 @@ def test_dtype_scaled_tolerance_defaults():
     eps = float(jnp.finfo(jnp.bfloat16).eps)
     assert f_tol == 8.0 * eps and x_tol == 8.0 * eps and g_tol == 80.0 * eps
     assert f_tol > eps  # a criterion that can actually fire
+
+
+def test_optimize_compile_reuse_same_spec():
+    """A second ``optimize`` call with an identical spec (same f object,
+    same x0 structure/shape/dtype, different values) reuses the cached
+    problem and compiled executable — zero new jit-cache misses. The
+    reference analogue is LeastSquaresProblemAllocated workspace reuse
+    (src/types.jl:141-160); VERDICT r2 weak #5."""
+    from leastsquaresoptim_jl_tpu import api
+
+    def f(x):
+        return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+
+    r1 = lso.optimize(f, jnp.zeros(2))
+    misses = api._compiled_solve.cache_info().misses
+    r2 = lso.optimize(f, jnp.array([0.3, -0.2]))
+    assert api._compiled_solve.cache_info().misses == misses
+    assert r1.converged and r2.converged
+    assert np.allclose(r2.minimizer, [1.0, 1.0], atol=1e-5)
+    # a different structure (shape) is a different problem: miss, no clash
+    def f3(x):
+        return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2), x[2]])
+
+    r3 = lso.optimize(f3, jnp.zeros(3))
+    assert api._compiled_solve.cache_info().misses == misses + 1
+    assert r3.converged
