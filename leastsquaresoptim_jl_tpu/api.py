@@ -42,6 +42,7 @@ def solve(
     upper=None,
     x0=None,
     batched: bool = False,
+    fused: Optional[bool] = None,
 ):
     """Pure jittable solve; returns the raw result pytree.
 
@@ -51,16 +52,32 @@ def solve(
     ``batched=True`` when doing so: the reuse ``lax.cond``s become
     unconditional evaluations (identical semantics in vmap lockstep, where
     cond lowers to a both-branches select anyway; see optimizer docstrings).
+
+    ``fused`` selects the fused residual+Jacobian evaluation schedule (one
+    model evaluation per iteration; Gram products carried for Cholesky,
+    flat J for QR — see the optimizer loop docstrings). Default off:
+    measured on the headline TPU workload (100k exponential fits, m=64,
+    n=2, shared sample grid) the schedule is 0.95-0.99x of the unfused
+    path — the eval there is data-bound, not transcendental-bound, and
+    once the shared-x path removed the duplicated grid reads the saved
+    exp() no longer pays for the extra carry boundary
+    (benchmarks/README.md round 3). Opt in for models whose residual is
+    genuinely expensive to evaluate (the trajectory is identical either
+    way; tests/test_fused.py).
     """
     optimizer = resolve(optimizer, problem)
     options = options or Options()
+    if fused is None:
+        fused = False
     if isinstance(optimizer, LevenbergMarquardt):
         loop = _lm.optimize_loop
     elif isinstance(optimizer, Dogleg):
         loop = _dogleg.optimize_loop
     else:
         raise TypeError(f"unknown optimizer {optimizer!r}")
-    return loop(problem, optimizer.solver, options, lower, upper, x0, batched)
+    return loop(
+        problem, optimizer.solver, options, lower, upper, x0, batched, fused
+    )
 
 
 # Problem reuse across ``optimize`` calls. ``_compiled_solve`` is keyed on

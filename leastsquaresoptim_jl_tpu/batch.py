@@ -34,6 +34,7 @@ def solve_batch(
     upper=None,
     data_axis: Optional[int] = 0,
     min_converged_fraction: Optional[float] = None,
+    fused: Optional[bool] = None,
 ):
     """Solve a batch of independent fits sharing one residual function.
 
@@ -45,7 +46,12 @@ def solve_batch(
     ``data_axis=None`` marks ``data_batch`` as *shared* across the batch
     (vmap in_axes=None): the data is passed as a runtime argument instead of
     a closure constant, so large shared datasets are neither baked into the
-    HLO nor recompiled per dataset.
+    HLO nor recompiled per dataset. ``data_axis`` may also be a pytree of
+    per-leaf axes (int or None) matching ``data_batch``'s structure —
+    mixed sharing, e.g. ``data=(xgrid, Y), data_axis=(None, 0)`` for fits
+    that share the sample grid but have per-fit observations. Sharing
+    common leaves is a real throughput lever: a broadcast (B, m) copy of a
+    shared grid is re-read from HBM on every model evaluation.
 
     ``min_converged_fraction`` (e.g. 0.99) switches to a fraction-stop
     batched loop: one outer ``lax.while_loop`` steps every fit in lockstep
@@ -54,6 +60,10 @@ def solve_batch(
     for the whole batch. "Done" = converged, non-finite, or at the
     iteration cap, so the loop always terminates. Throughput benchmarking
     (bench.py) and production bulk fitting should use this path.
+
+    ``fused`` (default off; see api.solve for the measured rationale)
+    selects the fused residual+Jacobian trial evaluation — one model
+    evaluation per iteration instead of two. Opt in for expensive models.
 
     Returns the raw result pytree with a leading batch axis on every leaf.
     Wrap the call in ``jax.jit`` for repeated use.
@@ -91,13 +101,13 @@ def solve_batch(
     def single(x0, data):
         return solve(
             problem_for(x0, data), optimizer, options=opts,
-            lower=lower, upper=upper, x0=x0, batched=True,
+            lower=lower, upper=upper, x0=x0, batched=True, fused=fused,
         )
 
     if min_converged_fraction is not None:
         return _solve_batch_fraction(
             problem_for, x0_batch, data_batch, data_axis, optimizer, opts,
-            lower, upper, float(min_converged_fraction),
+            lower, upper, float(min_converged_fraction), fused,
         )
     if data_batch is None:
         return jax.vmap(lambda x0: single(x0, None))(x0_batch)
@@ -106,7 +116,7 @@ def solve_batch(
 
 def _solve_batch_fraction(
     problem_for, x0_batch, data_batch, data_axis, optimizer, opts,
-    lower, upper, frac,
+    lower, upper, frac, fused=None,
 ):
     """Fraction-stop batched loop: vmapped single-iteration body inside one
     outer while_loop, stopping when >= frac of the batch is done."""
@@ -119,25 +129,35 @@ def _solve_batch_fraction(
             "solve_batch got an empty batch (x0_batch.shape[0] == 0)"
         )
     probe_x0 = x0_batch[0]
-    probe_data = (
-        None if data_batch is None
-        else (
-            data_batch if data_axis is None
-            else jax.tree_util.tree_map(lambda l: l[0], data_batch)
+    if data_batch is None or data_axis is None:
+        probe_data = data_batch
+    elif isinstance(data_axis, int):
+        probe_data = jax.tree_util.tree_map(
+            lambda l: jnp.take(l, 0, axis=data_axis), data_batch
         )
-    )
-    optimizer = resolve(optimizer, problem_for(probe_x0, probe_data))
+    else:
+        # Per-leaf axes: shared leaves (axis None) pass through whole.
+        # The axis tree must mirror data_batch's structure leaf-for-leaf
+        # (vmap-style prefixes are not resolved here).
+        probe_data = jax.tree_util.tree_map(
+            lambda ax, l: l if ax is None else jnp.take(l, 0, axis=ax),
+            data_axis, data_batch, is_leaf=lambda a: a is None,
+        )
+    probe_problem = problem_for(probe_x0, probe_data)
+    optimizer = resolve(optimizer, probe_problem)
     if isinstance(optimizer, LevenbergMarquardt):
         pieces_mod = _lm
     elif isinstance(optimizer, Dogleg):
         pieces_mod = _dogleg
     else:
         raise TypeError(f"unknown optimizer {optimizer!r}")
+    if fused is None:
+        fused = False  # same default as api.solve (measured; see there)
 
     def pieces(x0, data):
         return pieces_mod.loop_pieces(
             problem_for(x0, data), optimizer.solver, opts,
-            lower, upper, x0, batched=True,
+            lower, upper, x0, batched=True, fused=fused,
         )
 
     if data_batch is None:

@@ -122,17 +122,19 @@ def curve_fit_batch(
     p0 = jnp.asarray(p0)
     xdata = jnp.asarray(xdata)
     ydata = jnp.asarray(ydata)
-    B = p0.shape[0]
-    if xdata.ndim == 1:
-        xdata = jnp.broadcast_to(xdata, (B,) + xdata.shape)
     m = ydata.shape[-1]
+    # A 1-d xdata (or weights) is *shared* across the batch: passed once
+    # with a None vmap axis instead of materializing a broadcast (B, m)
+    # copy that every model evaluation would re-read from HBM.
+    x_axis = None if xdata.ndim == 1 else 0
     if weights is None:
         data = (xdata, ydata)
+        axes = (x_axis, 0)
     else:
         weights = jnp.asarray(weights)
-        if weights.ndim == 1:  # shared (m,) weights, like shared xdata
-            weights = jnp.broadcast_to(weights, (B,) + weights.shape)
+        w_axis = None if weights.ndim == 1 else 0
         data = (xdata, ydata, weights)
+        axes = (x_axis, 0, w_axis)
 
     def f(beta, d):
         if weights is None:
@@ -152,5 +154,6 @@ def curve_fit_batch(
     return solve_batch(
         f, p0, data, optimizer,
         options=options, output_length=m, lower=lower, upper=upper,
+        data_axis=axes,
         min_converged_fraction=min_converged_fraction,
     )

@@ -145,6 +145,91 @@ def unrolled_mgs_solve(A, b):
     return jnp.stack(x, axis=-1), jnp.abs(rdiag)
 
 
+# Upper parameter count for the fori_loop-blocked MGS QR below. Beyond the
+# unrolled cutoff (n <= 8) a Python unroll would explode trace size, but the
+# blocked form keeps one (m,)-vector body per column — still no batched
+# LAPACK-style kernels, so it stays batched-safe where XLA's batched
+# Householder QR cannot compile (large B x small n; see solver/qr.py).
+# Past ~64 columns the O(n) sequential column loop loses to Householder on
+# a single system and the batch sizes where vmap matters shrink anyway.
+BLOCKED_MGS_MAX_N = 64
+
+
+def blocked_mgs_solve(A, b):
+    """Least-squares solve min ||A x - b|| via modified Gram-Schmidt QR with
+    the column loop as a ``lax.fori_loop`` (static trip count n).
+
+    The scan-blocked sibling of :func:`unrolled_mgs_solve` for
+    8 < n <= 64: same numerics (MGS + one reorthogonalization pass,
+    progressive rhs deflation, error ~eps*cond(A) instead of the normal
+    equations' ~eps*cond(A)^2), but the per-column body is traced once —
+    no Python unroll explosion — and every operation is elementwise or a
+    (..., m, n)x(..., m) contraction, so under vmap it lowers to plain
+    batched VPU/MXU work. Columns k >= j of Q are still zero when column j
+    is orthogonalized, so the full contraction against Q *is* the masked
+    projection — no dynamic slicing of the growing basis is needed.
+
+    Returns ``(x, |diag(R)|)`` like the unrolled variant. Reference
+    accuracy class matched: pivoted QR (dense_qr.jl:37); rank-deficiency
+    is the caller's survival test (solver/qr.py).
+    """
+    import jax
+
+    n = A.shape[-1]
+    dt = A.dtype
+
+    def col(M, j):
+        return jax.lax.dynamic_index_in_dim(M, j, axis=-1, keepdims=False)
+
+    def orth_body(j, state):
+        Q, R = state
+        v = col(A, j)
+        c1 = jnp.einsum("...mk,...m->...k", Q, v)
+        v = v - jnp.einsum("...mk,...k->...m", Q, c1)
+        # Reorthogonalization pass ("twice is enough"): restores
+        # Householder-class orthogonality at ~2x the projection cost.
+        c2 = jnp.einsum("...mk,...m->...k", Q, v)
+        v = v - jnp.einsum("...mk,...k->...m", Q, c2)
+        rjj = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        qj = v / rjj[..., None]
+        rcol = (c1 + c2).at[..., j].set(rjj)
+        Q = jax.lax.dynamic_update_index_in_dim(Q, qj, j, axis=-1)
+        R = jax.lax.dynamic_update_index_in_dim(R, rcol, j, axis=-1)
+        return Q, R
+
+    Q0 = jnp.zeros_like(A)
+    R0 = jnp.zeros(A.shape[:-2] + (n, n), dt)
+    Q, R = jax.lax.fori_loop(0, n, orth_body, (Q0, R0))
+
+    # Project the rhs with progressive deflation (b shrinks as components
+    # are removed), as in the unrolled variant.
+    def proj_body(j, state):
+        z, bb = state
+        qj = col(Q, j)
+        zj = jnp.sum(qj * bb, axis=-1)
+        bb = bb - zj[..., None] * qj
+        return jax.lax.dynamic_update_index_in_dim(z, zj, j, axis=-1), bb
+
+    z0 = jnp.zeros(A.shape[:-2] + (n,), dt)
+    z, _ = jax.lax.fori_loop(0, n, proj_body, (z0, b))
+
+    # Back substitution; x entries <= j are still zero when row j is
+    # processed, so the full row dot needs no triangular masking.
+    def back_body(i, x):
+        j = n - 1 - i
+        rrow = jax.lax.dynamic_index_in_dim(R, j, axis=-2, keepdims=False)
+        zj = jax.lax.dynamic_index_in_dim(z, j, axis=-1, keepdims=False)
+        rjj = jax.lax.dynamic_index_in_dim(rrow, j, axis=-1, keepdims=False)
+        s = zj - jnp.sum(rrow * x, axis=-1)
+        return jax.lax.dynamic_update_index_in_dim(x, s / rjj, j, axis=-1)
+
+    x = jax.lax.fori_loop(
+        0, n, back_body, jnp.zeros(A.shape[:-2] + (n,), dt)
+    )
+    rdiag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
+    return x, rdiag
+
+
 def scaled_tikhonov_jitter(gram):
     """Per-column relative jitter for (near-)semidefinite normal systems:
     100 n eps (diag(G) + floor). Adding it truncates directions below

@@ -17,6 +17,13 @@ coordinates are pinned at their clipped values and the Gauss-Newton system
 is re-solved on the column-masked operator, so the projected-gradient KKT
 test certifies convergence on coupled bounded problems where pure clipping
 stalls.
+
+Fused evaluation schedules (``fused=True``): one model evaluation per
+iteration at the trial point; with the Cholesky solver the carry holds the
+Gram products (G = J'J, b = J'r) and J never reaches HBM — every quantity
+the dogleg geometry needs is algebraic in them (dtd = diag(G), gradient
+= b, Cauchy denominator ||J dgr||^2 = dgr'G dgr, Gauss-Newton step from
+G dx = b). See the LM module docstring for the TPU layout rationale.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import operators
+from ..ops.gram import gram_and_rhs
 from ..ops.linalg import (
     clip_step_to_bounds,
     maxabs_projected_gradient,
@@ -37,6 +45,8 @@ from ..ops.linalg import (
 )
 from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
+from ..solver.base import Cholesky as _CholeskyTag
+from ..solver.cholesky import solve_spd_system
 from .common import (
     STATUS_NOT_FINITE,
     STATUS_OK,
@@ -46,6 +56,7 @@ from .common import (
     resolve_tolerances,
     update_trace,
 )
+from .levenberg_marquardt import _gmatvec
 
 
 def loop_pieces(
@@ -56,6 +67,7 @@ def loop_pieces(
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
+    fused: bool = False,
 ):
     """The dogleg loop as ``(carry0, cond_fn, body_fn, finalize)``.
 
@@ -65,12 +77,35 @@ def loop_pieces(
     rejected step x/fcur are unchanged so recomputation reproduces the
     reused values exactly — same semantics, one branch instead of two. Work
     counters keep the reference accounting (only fresh blocks counted).
+
+    ``fused=True``: one fused model evaluation per iteration at the trial
+    point (see module docstring and the LM loop for the per-solver carry
+    layouts).
     """
     residual_fn = problem.residual_fn
     jac_fn = problem.jac_fn
     materialize = problem.materialize_jacobian
     m, n = problem.m, problem.n
     solve_gn, solve_damped = solver_fns(solver_tag)
+
+    if fused and (
+        not materialize
+        or problem.jacobian_is_sparse
+        or problem.res_jac_fn is None
+    ):
+        raise ValueError(
+            "fused evaluation requires a dense materialized Jacobian with "
+            "a res_jac_fn (least_squares_problem builds one automatically)"
+        )
+    res_jac_fn = problem.res_jac_fn
+    fused_gram = fused and isinstance(solver_tag, _CholeskyTag)
+    fused_flat = fused and not fused_gram
+
+    if fused_gram:
+        def res_gram_fn(xx):
+            r, J = res_jac_fn(xx)
+            G, b = gram_and_rhs(J, r)
+            return r, G, b
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
@@ -79,7 +114,12 @@ def loop_pieces(
         opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_DOGLEG
     )
 
-    fcur = residual_fn(x)
+    if fused_gram:
+        fcur, gram0, grhs0 = res_gram_fn(x)
+    elif fused:
+        fcur, jfull0 = res_jac_fn(x)
+    else:
+        fcur = residual_fn(x)
     ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
     zero_x = jnp.zeros((n,), dt)
@@ -90,9 +130,17 @@ def loop_pieces(
     # Batched dense mode recomputes J every iteration: carry the (n,)
     # linearization point instead of the (m, n) J (see
     # levenberg_marquardt.py — finalize recomputes J there, identical to
-    # the carried-J path even on a poisoned non-finite exit).
-    drop_jstate = batched and materialize and not problem.jacobian_is_sparse
-    if not materialize:
+    # the carried-J path even on a poisoned non-finite exit). Fused modes
+    # carry the Gram products / flat J instead (LM module docstring).
+    drop_jstate = (
+        batched and materialize and not problem.jacobian_is_sparse
+        and not fused
+    )
+    if fused_gram:
+        jstate0 = x  # linearization point (finalize only)
+    elif fused_flat:
+        jstate0 = jnp.reshape(jfull0, (m * n,))
+    elif not materialize:
         jstate0 = x
     elif drop_jstate:
         jstate0 = x
@@ -129,6 +177,9 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
+    if fused_gram:
+        carry["gram"] = gram0
+        carry["grhs"] = grhs0
 
     def cond_fn(c):
         return (
@@ -142,7 +193,14 @@ def loop_pieces(
         x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
 
         # Linearization point reuse across rejected steps (reference :81).
-        if materialize and batched:
+        if fused_gram:
+            G, b = c["gram"], c["grhs"]
+            jstate = c["jstate"]
+            op = None
+        elif fused_flat:
+            jstate = c["jstate"]
+            op = operators.from_matrix(jnp.reshape(jstate, (m, n)))
+        elif materialize and batched:
             # batched: x unchanged on rejection => recompute == reuse
             J = jac_fn(x)
             jstate = x if drop_jstate else J
@@ -167,20 +225,34 @@ def loop_pieces(
         def expensive():
             # Reference :85-117: dtd, first-iter Δ rescale, gradient + KKT,
             # scaled steepest descent, Cauchy length, Gauss-Newton step.
-            dtd = jnp.clip(
-                op.colnorms2(), config.MIN_DIAGONAL, config.MAX_DIAGONAL
+            # In Gram space: colnorms = diag(G), J'f = b, ||J v||^2 =
+            # v'G v, and the GN system is G dgn = b directly.
+            raw_dtd = (
+                jnp.diagonal(G, axis1=-2, axis2=-1)
+                if fused_gram
+                else op.colnorms2()
             )
+            dtd = jnp.clip(raw_dtd, config.MIN_DIAGONAL, config.MAX_DIAGONAL)
             wnorm_x = wnorm(x, dtd)
             delta = jnp.where(
                 (it == 1) & (wnorm_x > 0), c["delta"] * wnorm_x, c["delta"]
             )
-            g = op.rmatvec(fcur)
+            g = b if fused_gram else op.rmatvec(fcur)
             maxabs_gr = maxabs_projected_gradient(g, x, lower, upper)
             dgr = g / dtd  # steepest descent in the D-metric (reference :105)
             wnorm_dgr = wnorm(dgr, dtd)
-            jdgr = op.matvec(dgr)
-            alpha = wnorm_dgr**2 / sumabs2(jdgr)  # Cauchy length (:109-111)
-            dgn, ls_iter, istop_gn = solve_gn(op, fcur)
+            jdgr_sq = (
+                jnp.sum(dgr * _gmatvec(G, dgr))
+                if fused_gram
+                else sumabs2(op.matvec(dgr))
+            )
+            alpha = wnorm_dgr**2 / jdgr_sq  # Cauchy length (:109-111)
+            if fused_gram:
+                dgn = solve_spd_system(G, b)
+                ls_iter = jnp.int32(1)
+                istop_gn = jnp.int32(-1)
+            else:
+                dgn, ls_iter, istop_gn = solve_gn(op, fcur)
             wnorm_dgn = wnorm(dgn, dtd)
             mul_inc = jnp.int32(2) + ls_iter
             return (
@@ -195,9 +267,12 @@ def loop_pieces(
                 jnp.int32(0), jnp.int32(0), c["inner_istop"],
             )
 
-        if batched:
-            # Unconditional expensive block (recompute == reuse in lockstep);
-            # counters still follow the reference's reuse accounting.
+        if batched or fused:
+            # Unconditional expensive block (recompute == reuse in lockstep
+            # — and in the fused schedules the block works from carried
+            # G/b or J with no model evaluations, so there is nothing
+            # costly left to guard); counters still follow the reference's
+            # reuse accounting.
             (
                 dtd, delta, dgr, dgn, alpha, wnorm_dgn, wnorm_dgr,
                 maxabs_gr, g_inc, mul_inc, inner_istop,
@@ -252,7 +327,6 @@ def loop_pieces(
 
             def resolve():
                 dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
-                f_shift = fcur - op.matvec(dx_a)
                 # Freeze-damped solve (same scheme as LM): huge damping
                 # pins the binding coordinates, a scale-relative epsilon on
                 # the free ones keeps the system full-rank without a
@@ -264,7 +338,15 @@ def loop_pieces(
                 damp_mask = jnp.where(
                     binds, jnp.asarray(freeze, dt), jnp.finfo(dt).eps * dtd
                 )
-                dgn2, it2, _ = solve_damped(op, f_shift, damp_mask)
+                if fused_gram:
+                    # J'(f - J dx_a) = b - G dx_a (Gram space)
+                    dgn2 = solve_spd_system(
+                        G, b - _gmatvec(G, dx_a), damp_mask
+                    )
+                    it2 = jnp.int32(1)
+                else:
+                    f_shift = fcur - op.matvec(dx_a)
+                    dgn2, it2, _ = solve_damped(op, f_shift, damp_mask)
                 dx2 = jnp.where(binds, jnp.zeros_like(dx), dgn2)
                 # Scale the free part against the *remaining* radius after
                 # the pinned part: scaling by delta/wnorm(dx_a + dx2) would
@@ -292,13 +374,26 @@ def loop_pieces(
         # naive ssr - trial_ssr loses all significant digits in f32 once the
         # per-step reduction drops below eps * ssr.
         x_trial = x - dx
-        ftrial = residual_fn(x_trial)
+        if fused_gram:
+            # ONE fused model evaluation per iteration (see LM loop).
+            ftrial, gtrial, btrial = res_gram_fn(x_trial)
+        elif fused:
+            ftrial, jtrial = res_jac_fn(x_trial)
+        else:
+            ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1
         trial_ssr = sumabs2(ftrial)
         ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
-        jdx = op.matvec(dx)
+        if fused_gram:
+            # sum(Jdx (2f - Jdx)) = 2 dx.b - dx'G dx (Gram form; b = J'f
+            # at the current linearization point)
+            predicted_reduction = jnp.abs(
+                2.0 * jnp.sum(dx * b) - jnp.sum(dx * _gmatvec(G, dx))
+            )
+        else:
+            jdx = op.matvec(dx)
+            predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         mul_calls = mul_calls + 1
-        predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         rho = jnp.where(
             predicted_reduction > 0,
             ared / predicted_reduction,
@@ -325,13 +420,21 @@ def loop_pieces(
         # A non-finite step poisons x in the reference (dogleg.jl:160,190);
         # reproduce that so the loop halts and surfaces STATUS_NOT_FINITE.
         step_finite = jnp.all(jnp.isfinite(dx))
+        if fused_gram:
+            new_jstate = jnp.where(accepted, x_trial, jstate)
+        elif fused_flat:
+            new_jstate = jnp.where(
+                accepted, jnp.reshape(jtrial, (m * n,)), jstate
+            )
+        else:
+            new_jstate = jstate
         new = dict(
             x=jnp.where(accepted | ~step_finite, x_trial, x),
             fcur=jnp.where(accepted, ftrial, fcur),
             ssr=jnp.where(accepted, trial_ssr, ssr),
             delta=delta,
             reuse=~accepted,
-            jstate=jstate,
+            jstate=new_jstate,
             dtd=dtd,
             dgr=dgr,
             dgn=dgn,
@@ -350,6 +453,9 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
+        if fused_gram:
+            new["gram"] = jnp.where(accepted, gtrial, G)
+            new["grhs"] = jnp.where(accepted, btrial, b)
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
         return new
 
@@ -357,8 +463,10 @@ def loop_pieces(
         status = jnp.where(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
-        if drop_jstate:
+        if drop_jstate or fused_gram:
             out = dict(out, jstate=jac_fn(out["jstate"]))
+        elif fused_flat:
+            out = dict(out, jstate=jnp.reshape(out["jstate"], (m, n)))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],
@@ -388,9 +496,10 @@ def optimize_loop(
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
+    fused: bool = False,
 ):
     """Run dogleg from ``x0``; returns the same raw result pytree as LM."""
     carry, cond_fn, body_fn, finalize = loop_pieces(
-        problem, solver_tag, opts, lower, upper, x0, batched
+        problem, solver_tag, opts, lower, upper, x0, batched, fused
     )
     return finalize(jax.lax.while_loop(cond_fn, body_fn, carry))

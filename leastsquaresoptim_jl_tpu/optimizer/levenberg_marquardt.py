@@ -7,6 +7,30 @@ on-device with no host sync per iteration. The reference's
 ``need_jacobian`` reuse flag (:62,77-81,132) becomes a ``lax.cond`` over the
 Jacobian evaluation (materialized mode) or a select of the linearization
 point (matrix-free mode).
+
+Fused evaluation schedules (``fused=True``; the batched-throughput change
+of round 3): the residual and the Jacobian information are evaluated
+*together at the trial point* — one shared primal via problem.res_jac_fn —
+so each iteration runs ONE model evaluation instead of two (jac at x +
+residual at trial). What rides the carry depends on the solver:
+
+  * Cholesky ("fused-gram"): the carry holds the Gram products
+    ``G = J'J`` (n, n) and ``b = J'r`` (n,) — J itself is a fused
+    intermediate that NEVER reaches HBM. This matters on TPU: a carried
+    (B, m, n) Jacobian with tiny n pads its minor dimension to 128 lanes
+    (a (B, 64, 2) f32 carry occupies 64x its logical bytes; measured
+    0.75x *slowdown* on the headline bench), while G/b are n^2+n floats.
+    Every quantity the loop needs is algebraic in (G, b): damping diagonal
+    = diag(G), gradient J'f = b, predicted reduction
+    sum(Jdx (2f - Jdx)) = 2 dx.b - dx'G dx, and the bounds refinement rhs
+    J'(f - J dx_a) = b - G dx_a.
+  * other direct solvers (QR): the carry holds J *flattened to (m*n,)* —
+    flat vectors dodge the minor-dim padding ((B, 128) tiles exactly for
+    the n=2, m=64 headline shape) and reshape back inside the body where
+    the value lives in registers/VMEM.
+
+Semantics are identical to the unfused path (same trajectory, counters
+kept to the reference accounting); tests/test_fused.py pins it.
 """
 
 from __future__ import annotations
@@ -18,9 +42,12 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import operators
+from ..ops.gram import gram_and_rhs
 from ..ops.linalg import clip_step_to_bounds, maxabs_projected_gradient, sumabs2
 from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
+from ..solver.base import Cholesky as _CholeskyTag
+from ..solver.cholesky import solve_spd_system
 from .common import (
     STATUS_NOT_FINITE,
     STATUS_OK,
@@ -32,6 +59,12 @@ from .common import (
 )
 
 
+def _gmatvec(G, v):
+    """(n, n) x (n,) product in broadcast form (MXU-starving tiny dots
+    under vmap; same rationale as operators._BROADCAST_MATVEC_MAX_N)."""
+    return jnp.sum(G * v[..., None, :], axis=-1)
+
+
 def loop_pieces(
     problem: LeastSquaresProblem,
     solver_tag,
@@ -40,6 +73,7 @@ def loop_pieces(
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
+    fused: bool = False,
 ):
     """The LM loop decomposed as ``(carry0, cond_fn, body_fn, finalize)``.
 
@@ -51,6 +85,10 @@ def loop_pieces(
     unchanged so recomputing J(x) is bitwise the reuse — same semantics,
     minus the select. Work counters keep the reference accounting (g_calls
     counts only fresh linearization points) either way.
+
+    ``fused=True`` selects the fused trial-point evaluation schedule (one
+    model evaluation per iteration; see the module docstring for the
+    per-solver carry layouts).
     """
     residual_fn = problem.residual_fn
     jac_fn = problem.jac_fn
@@ -58,12 +96,38 @@ def loop_pieces(
     m, n = problem.m, problem.n
     solve_gn, solve_damped = solver_fns(solver_tag)
 
+    if fused and (
+        not materialize
+        or problem.jacobian_is_sparse
+        or problem.res_jac_fn is None
+    ):
+        raise ValueError(
+            "fused evaluation requires a dense materialized Jacobian with "
+            "a res_jac_fn (least_squares_problem builds one automatically)"
+        )
+    res_jac_fn = problem.res_jac_fn
+    # Cholesky consumes J only through (J'J, J'r): carry those instead of J
+    # (see module docstring).
+    fused_gram = fused and isinstance(solver_tag, _CholeskyTag)
+    fused_flat = fused and not fused_gram
+
+    if fused_gram:
+        def res_gram_fn(xx):
+            r, J = res_jac_fn(xx)
+            G, b = gram_and_rhs(J, r)
+            return r, G, b
+
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
     x_tol, f_tol, g_tol = resolve_tolerances(opts, dt)
     radius0 = opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_LM
 
-    fcur = residual_fn(x)
+    if fused_gram:
+        fcur, gram0, grhs0 = res_gram_fn(x)
+    elif fused:
+        fcur, jfull0 = res_jac_fn(x)
+    else:
+        fcur = residual_fn(x)
     ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
 
@@ -77,8 +141,21 @@ def loop_pieces(
     # recomputes J there — identical to the carried-J path even when the
     # loop exits on a non-finite step that poisoned x (the linearization
     # point is always the last *finite* x the loop iterated on).
-    drop_jstate = batched and materialize and not problem.jacobian_is_sparse
-    if not materialize:
+    drop_jstate = (
+        batched and materialize and not problem.jacobian_is_sparse
+        and not fused
+    )
+    if fused_gram:
+        # need_jacobian carries only the *accounting* flag (g_calls counts
+        # fresh linearization points exactly as unfused); the evaluation
+        # itself rides the fused trial step. jstate here is the
+        # linearization point for finalize's Jacobian recomputation.
+        jstate0 = x
+        need_jacobian0 = True
+    elif fused_flat:
+        jstate0 = jnp.reshape(jfull0, (m * n,))
+        need_jacobian0 = True
+    elif not materialize:
         jstate0 = x
         need_jacobian0 = True
     elif drop_jstate:
@@ -124,11 +201,17 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
-    if not batched:
+    if fused_gram:
+        carry["gram"] = gram0
+        carry["grhs"] = grhs0
+    if not batched and not fused:
         # Batched lockstep recomputes colnorms every iteration (both cond
         # branches would run anyway), so the carry leaf exists only in the
         # sequential trace — a dead (B, n) leaf would still be masked and
-        # rewritten per iteration by the fraction-stop freeze.
+        # rewritten per iteration by the fraction-stop freeze. (Fused mode
+        # likewise recomputes: colnorms from the carried J/G is one cheap
+        # reduction, and on rejection the carry is unchanged so recompute
+        # == reuse.)
         # need_jacobian0=False (sparse seeded carry) reuses the carried
         # colnorms at iteration 1, so seed them from the seeded Jacobian.
         carry["dtd_raw"] = (
@@ -152,9 +235,18 @@ def loop_pieces(
         x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
         delta = c["delta"]
 
-        # Jacobian reuse across rejected steps (reference :77-81).
+        # Jacobian reuse across rejected steps (reference :77-81). In the
+        # fused schedules the information arrived with the accepted trial
+        # evaluation and rides the carry — zero model evaluations here.
         with jax.named_scope("lm/jacobian"):
-            if materialize and not batched:
+            if fused_gram:
+                G, b = c["gram"], c["grhs"]
+                jstate = c["jstate"]  # linearization point (finalize only)
+                op = None
+            elif fused_flat:
+                jstate = c["jstate"]
+                op = operators.from_matrix(jnp.reshape(jstate, (m, n)))
+            elif materialize and not batched:
                 jstate = jax.lax.cond(
                     c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
                 )
@@ -176,7 +268,9 @@ def loop_pieces(
         # a fresh linearization point; on rejected steps the carried value
         # is bitwise-identical and (matrix-free) 32 probes cheaper. Batched
         # mode recomputes — in lockstep both cond branches would run anyway.
-        if batched:
+        if fused_gram:
+            dtd_raw = jnp.diagonal(G, axis1=-2, axis2=-1)
+        elif batched or fused:
             dtd_raw = op.colnorms2()
         else:
             dtd_raw = jax.lax.cond(
@@ -191,7 +285,12 @@ def loop_pieces(
 
         # Damped inner solve (reference :87) + box clip (:89-98).
         with jax.named_scope("lm/inner_solve"):
-            dx, lmiter, inner_istop = solve_damped(op, fcur, damp)
+            if fused_gram:
+                dx = solve_spd_system(G, b, damp)
+                lmiter = jnp.int32(1)
+                inner_istop = jnp.int32(-1)
+            else:
+                dx, lmiter, inner_istop = solve_damped(op, fcur, damp)
         mul_calls = c["mul_calls"] + lmiter
         if lower is not None or upper is not None:
             # Active-set refinement (improvement over the reference, whose
@@ -209,7 +308,6 @@ def loop_pieces(
 
             def resolve():
                 dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
-                f_shift = fcur - op.matvec(dx_a)
                 # Freeze factor: large enough that the active columns'
                 # coupling into the free solve is ~1e-10 relative, small
                 # enough that sqrt(freeze) in the stacked-QR damped form
@@ -219,7 +317,14 @@ def loop_pieces(
                     jnp.asarray(jnp.finfo(dt).max, dt) / 16,
                 )
                 damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp)
-                dx2, it2, _ = solve_damped(op, f_shift, damp2)
+                if fused_gram:
+                    # J'(f - J dx_a) = b - G dx_a: the residual shift stays
+                    # in Gram space.
+                    dx2 = solve_spd_system(G, b - _gmatvec(G, dx_a), damp2)
+                    it2 = jnp.int32(1)
+                else:
+                    f_shift = fcur - op.matvec(dx_a)
+                    dx2, it2, _ = solve_damped(op, f_shift, damp2)
                 dx_full = dx_a + jnp.where(binds, jnp.zeros_like(dx), dx2)
                 return (
                     clip_step_to_bounds(dx_full, x, lower, upper),
@@ -234,8 +339,9 @@ def loop_pieces(
             mul_calls = mul_calls + lmiter2
 
         # Projected gradient for the KKT g_tol test, evaluated at the
-        # pre-update x (reference :100-104).
-        g = op.rmatvec(fcur)
+        # pre-update x (reference :100-104). In Gram space J'f IS the
+        # carried rhs b.
+        g = b if fused_gram else op.rmatvec(fcur)
         mul_calls = mul_calls + 1
         maxabs_gr = maxabs_projected_gradient(g, x, lower, upper)
 
@@ -247,14 +353,29 @@ def loop_pieces(
         # accept/reject churn to the iteration cap). Identities:
         #   ssr - ||ft||^2        = sum((f - ft)(f + ft))
         #   ssr - ||J dx - f||^2  = sum((J dx)(2f - J dx))
+        #                         = 2 dx.b - dx'G dx   (Gram form)
         x_trial = x - dx
-        ftrial = residual_fn(x_trial)
+        if fused_gram:
+            # ONE fused model evaluation per iteration: residual and Gram
+            # products at the trial point share their primal; J never
+            # reaches HBM. Carried forward on acceptance, discarded on
+            # rejection (the carried G/b at the unchanged x are kept).
+            ftrial, gtrial, btrial = res_gram_fn(x_trial)
+        elif fused:
+            ftrial, jtrial = res_jac_fn(x_trial)
+        else:
+            ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1
         trial_ssr = sumabs2(ftrial)
         ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
-        jdx = op.matvec(dx)
+        if fused_gram:
+            predicted_reduction = jnp.abs(
+                2.0 * jnp.sum(dx * b) - jnp.sum(dx * _gmatvec(G, dx))
+            )
+        else:
+            jdx = op.matvec(dx)
+            predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         mul_calls = mul_calls + 1
-        predicted_reduction = jnp.abs(jnp.sum(jdx * (2.0 * fcur - jdx)))
         rho = jnp.where(
             predicted_reduction > 0,
             ared / predicted_reduction,
@@ -280,6 +401,17 @@ def loop_pieces(
         # acceptance and the revert re-adds dx, levenberg_marquardt.jl:106,135);
         # reproduce that so the loop halts and surfaces STATUS_NOT_FINITE.
         step_finite = jnp.all(jnp.isfinite(dx))
+        if fused_gram:
+            # jstate tracks the linearization point of the carried G/b —
+            # the last *finite* accepted x (poisoned steps are rejected:
+            # non-finite ftrial makes rho NaN, accepted False).
+            new_jstate = jnp.where(accepted, x_trial, jstate)
+        elif fused_flat:
+            new_jstate = jnp.where(
+                accepted, jnp.reshape(jtrial, (m * n,)), jstate
+            )
+        else:
+            new_jstate = jstate
         new = dict(
             x=jnp.where(accepted | ~step_finite, x_trial, x),
             fcur=jnp.where(accepted, ftrial, fcur),
@@ -289,7 +421,7 @@ def loop_pieces(
                 accepted, jnp.asarray(2.0, dt), c["decrease_factor"] * 2.0
             ),
             need_jacobian=accepted,
-            jstate=jstate,
+            jstate=new_jstate,
             maxabs_gr=maxabs_gr,
             it=it,
             x_converged=flags.x_converged,
@@ -302,7 +434,10 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
-        if not batched:
+        if fused_gram:
+            new["gram"] = jnp.where(accepted, gtrial, G)
+            new["grhs"] = jnp.where(accepted, btrial, b)
+        if not batched and not fused:
             new["dtd_raw"] = dtd_raw
         new["trace"] = update_trace(c["trace"], opts, it, new["ssr"], maxabs_gr)
         return new
@@ -311,8 +446,12 @@ def loop_pieces(
         status = jnp.where(
             jnp.all(jnp.isfinite(out["x"])), STATUS_OK, STATUS_NOT_FINITE
         )
-        if drop_jstate:
+        if drop_jstate or fused_gram:
+            # jstate is the linearization point: recompute J there for the
+            # result (identical to a carried J even on a poisoned exit).
             out = dict(out, jstate=jac_fn(out["jstate"]))
+        elif fused_flat:
+            out = dict(out, jstate=jnp.reshape(out["jstate"], (m, n)))
         return dict(
             minimizer=out["x"],
             ssr=out["ssr"],
@@ -342,6 +481,7 @@ def optimize_loop(
     upper: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
+    fused: bool = False,
 ):
     """Run LM from ``x0`` (default ``problem.x0``); returns a raw result pytree.
 
@@ -349,6 +489,6 @@ def optimize_loop(
     ``problem.residual_fn``) batches independent fits.
     """
     carry, cond_fn, body_fn, finalize = loop_pieces(
-        problem, solver_tag, opts, lower, upper, x0, batched
+        problem, solver_tag, opts, lower, upper, x0, batched, fused
     )
     return finalize(jax.lax.while_loop(cond_fn, body_fn, carry))

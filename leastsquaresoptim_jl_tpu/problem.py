@@ -118,6 +118,13 @@ class LeastSquaresProblem:
     jvp_fn: Optional[Callable] = None
     vjp_fn: Optional[Callable] = None
     colnorms_fn: Optional[Callable] = None
+    # Fused evaluator res_jac_fn(x) -> (r, J): one primal evaluation shared
+    # between the residual and the Jacobian columns (jax.linearize). The
+    # optimizers' fused mode evaluates it once per iteration at the *trial*
+    # point and carries J, halving the model-evaluation cost of
+    # transcendental-bound workloads (the TPU-efficient form of the
+    # reference's user-g! analytic-Jacobian path, src/types.jl:54-66).
+    res_jac_fn: Optional[Callable] = None
 
     @property
     def n(self) -> int:
@@ -187,8 +194,24 @@ def least_squares_problem(
     if g is not None:
         # A user Jacobian sees the same structured parameters as f.
         jac_fn = g if unravel is None else (lambda xf: g(unravel(xf)))
+        # Fused form: trace both in one graph — XLA CSE shares any common
+        # subexpressions between the user's residual and Jacobian.
+        res_jac_fn = lambda xx: (residual_fn(xx), jac_fn(xx))
     else:
         jac_fn = synthesize_jacobian(residual_fn, autodiff)
+        if autodiff == "forward":
+            # One jax.linearize call evaluates the primal once and yields a
+            # linear jvp; vmapping it over the basis gives the Jacobian
+            # columns sharing that primal (exp/log/... computed once for
+            # both r and J — the measured ~30% headline cut, ROADMAP #3).
+            def res_jac_fn(xx):
+                r, jvp = jax.linearize(residual_fn, xx)
+                J = jax.vmap(jvp, out_axes=1)(
+                    jnp.eye(xx.shape[0], dtype=xx.dtype)
+                )
+                return r, J
+        else:
+            res_jac_fn = lambda xx: (residual_fn(xx), jac_fn(xx))
 
     # Validate shapes abstractly (no FLOPs): f must produce (m,) and J (m, n).
     r_shape = jax.eval_shape(residual_fn, x)
@@ -214,6 +237,7 @@ def least_squares_problem(
         materialize_jacobian=materialize_jacobian,
         jacobian_is_sparse=jacobian_is_sparse,
         unravel=unravel,
+        res_jac_fn=None if jacobian_is_sparse else res_jac_fn,
     )
 
 

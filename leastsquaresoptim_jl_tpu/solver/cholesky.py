@@ -80,6 +80,20 @@ def _solve_spd(gram, rhs):
     return jax.lax.cond(ok, lambda: dx, fallback)
 
 
+def solve_spd_system(gram, rhs, damp=None):
+    """Solve (G [+ diag(damp)]) dx = rhs with the pivot-survival fallback.
+
+    Gram-space entry for the fused-gram optimizer schedules (the carry
+    holds G = J'J and rhs = J'r directly; see
+    optimizer/levenberg_marquardt.py module docstring). Same numerics as
+    solve_gn/solve_damped minus the Gram formation.
+    """
+    if damp is not None:
+        n = gram.shape[-1]
+        gram = gram + damp[..., None, :] * jnp.eye(n, dtype=gram.dtype)
+    return _solve_spd(gram, rhs)
+
+
 def solve_gn(J, y):
     """(J'J) dx = J'y (reference: dense_cholesky.jl:29-35). mvps = 1."""
     gram, rhs = gram_and_rhs(J, y)

@@ -1,0 +1,163 @@
+"""Fused residual+Jacobian evaluation schedule (the batched default).
+
+ROADMAP #3 / round-2 VERDICT next #1: the batched headline workload is
+transcendental-bound and the unfused schedule evaluates the model twice per
+iteration (J at x, residual at the trial point). The fused schedule
+evaluates residual AND Jacobian together at the trial point — one shared
+primal via jax.linearize — and carries J, halving model-evaluation cost.
+These tests pin the semantic guarantee: same trajectory (iteration counts,
+work counters) and same minimizers as the unfused path.
+
+Reference analogue: the user-g! analytic-Jacobian path
+(/root/reference/src/types.jl:54-66) — this is its TPU-efficient form.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import leastsquaresoptim_jl_tpu as lso
+
+
+def _batch(B=48, m=32, seed=0):
+    rng = np.random.default_rng(seed)
+    xd = np.linspace(1.0, 80.0, m)
+    bt = np.stack([rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], 1)
+    Y = bt[:, :1] * (1 - np.exp(-bt[:, 1:2] * xd[None, :]))
+    x0 = bt * rng.uniform(0.7, 1.4, (B, 2))
+
+    def f(b, d):
+        xdd, yd = d
+        return yd - b[0] * (1 - jnp.exp(-b[1] * xdd))
+
+    data = (jnp.broadcast_to(jnp.asarray(xd), (B, m)), jnp.asarray(Y))
+    return f, jnp.asarray(x0), data, m
+
+
+@pytest.mark.parametrize(
+    "opt",
+    [
+        lso.LevenbergMarquardt(lso.Cholesky()),
+        lso.Dogleg(lso.Cholesky()),
+        lso.LevenbergMarquardt(lso.QR()),
+    ],
+    ids=["lm-chol", "dogleg-chol", "lm-qr"],
+)
+def test_fused_equals_unfused_batched(opt):
+    f, x0, data, m = _batch()
+    opts = lso.Options(iterations=50)
+    r_f = lso.solve_batch(f, x0, data, opt, output_length=m,
+                          options=opts, fused=True)
+    r_u = lso.solve_batch(f, x0, data, opt, output_length=m,
+                          options=opts, fused=False)
+    # identical trajectory: iteration counts and counters match exactly
+    for k in ("iterations", "f_calls", "g_calls", "converged"):
+        assert np.array_equal(np.asarray(r_f[k]), np.asarray(r_u[k])), k
+    assert np.allclose(
+        np.asarray(r_f["minimizer"]), np.asarray(r_u["minimizer"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    assert np.asarray(r_f["converged"]).all()
+
+
+def test_fused_default_off_and_equivalent():
+    """The default schedule is unfused (measured faster on the data-bound
+    headline workload; api.solve docstring) and the fused opt-in follows
+    the same trajectory."""
+    f, x0, data, m = _batch(B=16)
+    opts = lso.Options(iterations=50)
+    r_d = lso.solve_batch(f, x0, data, output_length=m, options=opts)
+    r_u = lso.solve_batch(f, x0, data, output_length=m, options=opts,
+                          fused=False)
+    r_f = lso.solve_batch(f, x0, data, output_length=m, options=opts,
+                          fused=True)
+    assert np.array_equal(np.asarray(r_d["minimizer"]),
+                          np.asarray(r_u["minimizer"]))  # default == unfused
+    assert np.array_equal(np.asarray(r_d["iterations"]),
+                          np.asarray(r_f["iterations"]))
+    assert np.allclose(np.asarray(r_d["minimizer"]),
+                       np.asarray(r_f["minimizer"]), rtol=1e-12)
+
+
+def test_fused_fraction_stop_matches_plain_vmap():
+    """The fraction-stop loop (the bench path) under fused evaluation
+    reaches the same minimizers as plain vmap at frac=1.0."""
+    f, x0, data, m = _batch(B=24, seed=3)
+    opts = lso.Options(iterations=50)
+    r_frac = lso.solve_batch(
+        f, x0, data, lso.LevenbergMarquardt(lso.Cholesky()),
+        output_length=m, options=opts, min_converged_fraction=1.0,
+    )
+    r_plain = lso.solve_batch(
+        f, x0, data, lso.LevenbergMarquardt(lso.Cholesky()),
+        output_length=m, options=opts,
+    )
+    assert np.asarray(r_frac["converged"]).all()
+    assert np.allclose(np.asarray(r_frac["minimizer"]),
+                       np.asarray(r_plain["minimizer"]),
+                       rtol=1e-10, atol=1e-10)
+
+
+def test_fused_sequential_solve_matches():
+    """fused=True on a single (non-batched) solve follows the same
+    trajectory as the default path."""
+    def f(x):
+        return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+
+    p = lso.least_squares_problem(f=f, x=jnp.zeros(2))
+    r_u = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()))
+    r_f = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=True)
+    assert int(r_f["iterations"]) == int(r_u["iterations"])
+    assert np.allclose(np.asarray(r_f["minimizer"]),
+                       np.asarray(r_u["minimizer"]), atol=1e-12)
+    # fused counters keep the reference accounting
+    assert int(r_f["g_calls"]) == int(r_u["g_calls"])
+    assert int(r_f["f_calls"]) == int(r_u["f_calls"])
+
+
+def test_fused_with_user_jacobian():
+    """A user-supplied analytic g composes with the fused schedule (XLA CSE
+    shares common subexpressions between f and g traced together)."""
+    xd = jnp.linspace(1.0, 10.0, 20)
+    yd = 3.0 * (1 - jnp.exp(-0.4 * xd))
+
+    def f(b):
+        return yd - b[0] * (1 - jnp.exp(-b[1] * xd))
+
+    def g(b):
+        e = jnp.exp(-b[1] * xd)
+        return jnp.stack([-(1 - e), -b[0] * xd * e], axis=1)
+
+    p = lso.least_squares_problem(f=f, x=jnp.array([2.0, 0.2]), g=g)
+    raw = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=True)
+    assert bool(raw["converged"])
+    assert np.allclose(np.asarray(raw["minimizer"]), [3.0, 0.4], atol=1e-8)
+
+
+def test_fused_rejected_for_matrix_free_and_sparse():
+    def f(x):
+        return jnp.concatenate([x * 2.0, x[:1] - 1.0])
+
+    p_mf = lso.least_squares_problem(
+        f=f, x=jnp.ones(3), materialize_jacobian=False
+    )
+    with pytest.raises(ValueError, match="fused"):
+        lso.solve(p_mf, lso.LevenbergMarquardt(lso.LSMR()), fused=True)
+    # default (None) silently stays unfused for matrix-free problems
+    raw = lso.solve(p_mf, lso.LevenbergMarquardt(lso.LSMR()))
+    assert bool(raw["converged"])
+
+
+def test_fused_nonfinite_poisoning_parity():
+    """A step into non-finite territory halts the loop with
+    STATUS_NOT_FINITE under the fused schedule too (the carried J stays
+    the one from the last finite iterate)."""
+    def f(x):
+        # overflows for x[0] much above ~30 in f64 exp(x^2)
+        return jnp.array([jnp.exp(x[0] ** 2) - 2.0, x[1] - 1.0])
+
+    p = lso.least_squares_problem(f=f, x=jnp.array([40.0, 0.0]))
+    raw = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=True)
+    raw_u = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=False)
+    assert int(raw["status"]) == int(raw_u["status"])
