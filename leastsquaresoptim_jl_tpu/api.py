@@ -151,6 +151,7 @@ def optimize_problem(
     show_trace: bool = False,
     show_every: int = 1,
     x0=None,
+    restarts: int = 0,
 ) -> LeastSquaresResult:
     """Solve ``problem``; counterpart of ``optimize!`` (reference: src/types.jl:207-209).
 
@@ -163,6 +164,18 @@ def optimize_problem(
     Tolerances of None pick dtype-scaled defaults: 1e-8 in f64 (reference
     parity, src/types.jl:196-199), noise-floor-scaled values in f32 so
     on-chip solves converge by criterion (config.default_tolerances).
+
+    ``restarts`` (default 0) enables the restart-on-suspect-stop escape
+    for low-precision solves: a stop certified only by the f- or
+    x-criterion (not the KKT gradient test) in a flat region can be
+    premature in f32 — the per-step reduction falls under the dtype noise
+    floor while the gradient is still large (docs/ROADMAP.md round-2 #5,
+    the BoxBOD-class far-start failure). Each restart re-solves from the
+    current minimizer with a fresh trust region (same compiled
+    executable — x0 is a runtime argument); a genuine optimum re-stops
+    within a couple of iterations with no meaningful ssr drop, ending the
+    loop, while a premature stop makes real progress. Work counters
+    accumulate across restarts.
     """
     from .optimizer.common import resolve_tolerances
 
@@ -195,12 +208,42 @@ def optimize_problem(
         problem, optimizer, opts, lower is not None, upper is not None
     )
     zeros = jnp.zeros_like(start)
-    raw = fn(
-        start,
-        lower if lower is not None else zeros,
-        upper if upper is not None else zeros,
-    )
-    raw = dict(raw)
+
+    def run(s):
+        return dict(fn(
+            s,
+            lower if lower is not None else zeros,
+            upper if upper is not None else zeros,
+        ))
+
+    raw = run(start)
+    if restarts:
+        import numpy as np
+
+        counters = ("iterations", "f_calls", "g_calls", "mul_calls")
+        totals = {k: int(np.asarray(raw[k])) for k in counters}
+        for _ in range(int(restarts)):
+            # Suspect stop: certified by f/x only (no KKT gradient test)
+            # on a finite iterate — the premature-stop signature in low
+            # precision. A g-converged or failed stop is final.
+            suspect = (
+                bool(np.asarray(raw["converged"]))
+                and not bool(np.asarray(raw["g_converged"]))
+                and int(np.asarray(raw["status"])) == 0
+            )
+            if not suspect:
+                break
+            probe = run(jnp.asarray(raw["minimizer"]))
+            for k in counters:
+                totals[k] += int(np.asarray(probe[k]))
+            improved = float(np.asarray(probe["ssr"])) < float(
+                np.asarray(raw["ssr"])
+            ) * (1.0 - 10.0 * opts.f_tol)
+            if not (improved and int(np.asarray(probe["status"])) == 0):
+                break  # genuine optimum: probe re-stopped with no progress
+            raw = probe
+        for k in counters:
+            raw[k] = totals[k]
     raw["optimizer"] = "LevenbergMarquardt" if isinstance(
         optimizer, LevenbergMarquardt
     ) else "Dogleg"

@@ -69,8 +69,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_x",))
-def _xtx_pallas(X, block_x: int):
+@functools.partial(jax.jit, static_argnames=("block_x", "interpret"))
+def _xtx_pallas(X, block_x: int, interpret: bool = False):
     """X'X for X (rows, 128k) with rows % block_x == 0, as a row-block grid.
 
     Each grid step writes its own (ncols, ncols) partial product; the
@@ -108,11 +108,15 @@ def _xtx_pallas(X, block_x: int):
             + nblocks * ncols * ncols * 4,
             transcendentals=0,
         ),
+        # interpret=True runs the kernel in the Pallas interpreter (any
+        # backend, incl. CPU) — the correctness-test surface for the
+        # fold/diagonal-block-sum/tail logic (tests/test_gram.py).
+        interpret=interpret,
     )(X)
     return jnp.sum(partials, axis=0)
 
 
-def _gram_pallas(J, y):
+def _gram_pallas(J, y, interpret: bool = False, block_m: int | None = None):
     m, n = J.shape
     # Fold factor: pack `fold` J-rows into one 128-lane X row. The reshape
     # is free (row-major) and requires no padding because supported shapes
@@ -125,13 +129,15 @@ def _gram_pallas(J, y):
             f"got n={n}; use gram_and_rhs (XLA path) for other shapes"
         )
     fold = 128 // n if n <= 64 else 1
-    rows_per_block = _BLOCK_M  # J rows per grid step
+    # J rows per grid step; overridable so the interpreter-mode correctness
+    # tests can exercise the multi-block + tail paths on small arrays.
+    rows_per_block = _BLOCK_M if block_m is None else block_m
     m_main = (m // (rows_per_block * fold)) * (rows_per_block * fold)
 
     gram = jnp.zeros((n, n), jnp.float32)
     if m_main > 0:
         X = J[:m_main].reshape(m_main // fold, n * fold)
-        G = _xtx_pallas(X, rows_per_block // fold)
+        G = _xtx_pallas(X, rows_per_block // fold, interpret=interpret)
         if fold > 1:
             Gb = G.reshape(fold, n, fold, n)
             idx = jnp.arange(fold)
