@@ -1,5 +1,5 @@
-"""BASELINE.json config #4: 1M-residual / 100k-param sparse problem,
-LM(LSMR) matrix-free with Jacobi preconditioner, single chip.
+"""BASELINE.json config #4/#5 (single-chip halves): 1M- and 10M-residual
+sparse problems, LM(LSMR) matrix-free with Jacobi preconditioner.
 
 The problem is a large nonlinear discrete-boundary-value-style system
 (MINPACK family, scaled up): residual i couples x[i-1], x[i], x[i+1] plus a
@@ -9,9 +9,16 @@ jax.linearize JVP/VJP closures (ops/operators.py), the damped LM system is
 an operator combinator (solver/lsmr.py), and colnorms come from the
 Hutchinson estimator.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value = outer LM iterations/s and vs_baseline compares against a SciPy-style
-single-core CPU estimate of the same matvec volume.
+Prints one JSON line per config: {"metric", "value", "unit",
+"vs_baseline"} where value = outer LM iterations/s and vs_baseline
+compares against a SciPy-style single-core CPU estimate of the same
+matvec volume. The m=10M config (the north star's stated scale point,
+BASELINE.md) additionally reports a solve-to-convergence line
+(time-to-g_tol at the f32 dtype-scaled tolerance) and the device memory
+headroom — J is never materialized, so the footprint is a handful of
+m-vectors (~40 MB each at m=1e7) against ~16 GB HBM. The multi-chip
+variant of the same operator path is exercised on the virtual mesh by
+tests/test_sharding.py and benchmarks/bench_sharded.py.
 """
 
 import json
@@ -24,14 +31,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main():
+def run_config(blocks, label, convergence=False):
     import jax
     import jax.numpy as jnp
 
     import leastsquaresoptim_jl_tpu as lso
 
     n = 100_000          # parameters
-    blocks = 10          # residual blocks -> m = 1M residuals
     m = blocks * n
     dtype = jnp.float32
     h = 1.0 / (n + 1)
@@ -92,16 +98,68 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sparse_lm_lsmr_outer_iterations_per_second",
+                "metric": f"sparse_lm_lsmr_outer_iterations_per_second_{label}",
                 "value": round(iters_per_s, 3),
                 "unit": (
-                    f"LM iters/s (m=1M residuals, n=100k params, matrix-free "
-                    f"LSMR, {mul_calls} total matvecs, f32)"
+                    f"LM iters/s (m={label} residuals, n=100k params, "
+                    f"matrix-free LSMR, {mul_calls} total matvecs, f32)"
                 ),
                 "vs_baseline": round(vs, 2),
             }
         )
     )
+
+    if convergence:
+        # Solve-to-convergence at the f32 dtype-scaled g_tol: the honest
+        # "time-to-g_tol" number for the north-star scale point.
+        conv_opts = lso.Options(iterations=100, x_tol=0.0, f_tol=0.0)
+        run_conv = jax.jit(
+            lambda x: lso.solve(
+                prob,
+                lso.LevenbergMarquardt(lso.LSMR(maxiter=60)),
+                options=conv_opts,
+                x0=x,
+            )
+        )
+        out = run_conv(x0)
+        np.asarray(out["ssr"])  # compile + fetch
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = run_conv(x0 * (1.0 + 1e-6 * (i + 1)))
+            conv = bool(np.asarray(out["converged"]))
+            its = int(np.asarray(out["iterations"]))
+            ts.append(time.perf_counter() - t0)
+        mem_line = ""
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            used = stats.get("bytes_in_use", 0) / 2**30
+            lim = stats.get("bytes_limit", 0) / 2**30
+            mem_line = f", device mem {used:.2f}/{lim:.1f} GiB"
+        except Exception:
+            pass
+        print(
+            json.dumps(
+                {
+                    "metric": f"sparse_lm_lsmr_time_to_gtol_{label}",
+                    "value": round(min(ts), 3),
+                    "unit": (
+                        f"s to g_tol=1e-5 (f32 default), {its} LM iters, "
+                        f"converged={conv}, m={label}{mem_line}"
+                    ),
+                    "vs_baseline": round(
+                        (1.0 / min(ts)) / (1.0 / (its * cpu_per_iter)), 2
+                    )
+                    if its
+                    else float("nan"),
+                }
+            )
+        )
+
+
+def main():
+    run_config(blocks=10, label="1M")
+    run_config(blocks=100, label="10M", convergence=True)
 
 
 if __name__ == "__main__":

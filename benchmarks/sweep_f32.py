@@ -34,9 +34,11 @@ MINPACK_SSR_TOL = 1e-3
 NIST_X_TOL = 1e-3
 
 
-def _stage_f32(out_path):
+def _stage_f32(out_path, cpu=False):
     import jax
 
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import leastsquaresoptim_jl_tpu as lso
@@ -113,44 +115,53 @@ def _stage_f32(out_path):
                     iters=int(r.iterations),
                     minimizer=xhat.tolist(),
                 )
-                # Automatic escape (solution-blind trigger): a stop not
-                # certified by the KKT gradient test is suspect in f32 —
-                # restart-on-suspect-stop alone was measured to rescue
-                # nothing (the misses are basin/trajectory artifacts, not
-                # flat stops), so the escalation is the library multistart
-                # over the generic start box, same optimizer, best-of by
-                # ssr vs the original run.
-                if not r.g_converged:
-                    if opt_name not in escape_cache:
-                        best, _ = lso.optimize_multistart(
-                            fdata, escape_starts, opt,
-                            data=(xdata, ydata),
-                            output_length=int(xdata.shape[0]),
-                        )
-                        escape_cache[opt_name] = best
-                    best = escape_cache[opt_name]
-                    if (
-                        np.isfinite(float(np.asarray(best["ssr"])))
-                        and float(np.asarray(best["ssr"])) < float(r.ssr)
-                    ):
-                        xe = np.asarray(best["minimizer"], np.float64)
-                    else:
-                        xe = xhat
-                    row["escaped"] = True
-                    row["minimizer_escaped"] = xe.tolist()
-                    row["err_escaped"] = float(np.linalg.norm(xe - sol))
-                    row["rel_err_escaped"] = float(
-                        np.max(np.abs(xe - sol) / np.maximum(np.abs(sol), 1e-30))
+                # Automatic escape (solution-blind): restart-on-suspect-stop
+                # alone was measured to rescue nothing (the misses are
+                # basin/trajectory artifacts, not flat stops), so the
+                # escalation is the library multistart over the generic
+                # start box, same optimizer, best-of by ssr vs the original
+                # run. It runs for EVERY row — a g-converged stop can be a
+                # perfectly KKT-certified *wrong basin* (a genuine local
+                # minimum; measured on-chip: Eckerle4/Lanczos3 far starts),
+                # and only the decisive-ssr comparison below can tell —
+                # which is itself solution-blind. One cached multistart per
+                # (dataset, optimizer).
+                if opt_name not in escape_cache:
+                    best, _ = lso.optimize_multistart(
+                        fdata, escape_starts, opt,
+                        data=(xdata, ydata),
+                        output_length=int(xdata.shape[0]),
                     )
+                    escape_cache[opt_name] = best
+                best = escape_cache[opt_name]
+                # Adopt the escape only on a *decisive* ssr improvement
+                # (2x; genuine basin rescues improve >=10x). A
+                # rounding-level "win" can be a permutation-degenerate
+                # relabeling (multi-Gaussian models: interchangeable
+                # bumps give identical ssr but a wildly different
+                # parameter vector), which would poison the polish.
+                best_ssr = float(np.asarray(best["ssr"]))
+                if np.isfinite(best_ssr) and best_ssr < 0.5 * float(r.ssr):
+                    xe = np.asarray(best["minimizer"], np.float64)
+                else:
+                    xe = xhat
+                row["escaped"] = True
+                row["minimizer_escaped"] = xe.tolist()
+                row["err_escaped"] = float(np.linalg.norm(xe - sol))
+                row["rel_err_escaped"] = float(
+                    np.max(np.abs(xe - sol) / np.maximum(np.abs(sol), 1e-30))
+                )
                 results["nist"].append(row)
 
     with open(out_path, "w") as fh:
         json.dump(results, fh)
 
 
-def _stage_polish(in_path, out_path):
+def _stage_polish(in_path, out_path, cpu=False):
     import jax
 
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -177,9 +188,15 @@ def _stage_polish(in_path, out_path):
         row["ssr_polished"] = float(r.ssr)
         row["ok_polished"] = bool(r.ssr <= MINPACK_SSR_TOL)
 
+    # One problem (= one compiled executable) per dataset: the 4 rows per
+    # dataset (2 starts x 2 optimizers) are polished via x0-override — a
+    # fresh closure per row would cost a remote compile each.
+    by_ds = {}
     for row in results["nist"]:
-        d = DATASETS[row["dataset"]]
-        model = MODELS[row["dataset"]]
+        by_ds.setdefault(row["dataset"], []).append(row)
+    for name, rows in by_ds.items():
+        d = DATASETS[name]
+        model = MODELS[name]
         xdata = jnp.asarray(d["x"], jnp.float64)
         ydata = jnp.asarray(d["y"], jnp.float64)
         sol = np.asarray(d["solution"], np.float64)
@@ -187,15 +204,22 @@ def _stage_polish(in_path, out_path):
         def residual(beta, xdata=xdata, ydata=ydata, model=model):
             return ydata - model(xdata, beta)
 
-        # Polish from the escaped minimizer when the automatic escape ran
-        # and found a better basin (this is what closes the BoxBOD-class
-        # basin misses with no hand-run recipe — the f64 polish cannot
-        # leave a wrong basin on its own).
-        seed = row.get("minimizer_escaped", row["minimizer"])
-        r = lso.polish(residual, jnp.asarray(seed, jnp.float64), **extreme)
-        xhat = np.asarray(r.minimizer, np.float64)
-        row["err_polished"] = float(np.linalg.norm(xhat - sol))
-        row["ok_polished"] = bool(row["err_polished"] <= NIST_X_TOL)
+        p = lso.least_squares_problem(
+            f=residual,
+            x=jnp.asarray(rows[0]["minimizer"], jnp.float64),
+        )
+        for row in rows:
+            # Polish from the escaped minimizer when the automatic escape
+            # ran and found a better basin (this is what closes the
+            # BoxBOD-class basin misses with no hand-run recipe — the f64
+            # polish cannot leave a wrong basin on its own).
+            seed = row.get("minimizer_escaped", row["minimizer"])
+            r = lso.optimize_problem(
+                p, x0=jnp.asarray(seed, jnp.float64), **extreme
+            )
+            xhat = np.asarray(r.minimizer, np.float64)
+            row["err_polished"] = float(np.linalg.norm(xhat - sol))
+            row["ok_polished"] = bool(row["err_polished"] <= NIST_X_TOL)
 
     with open(out_path, "w") as fh:
         json.dump(results, fh)
@@ -306,23 +330,32 @@ def _report(results):
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--stage-f32":
-        _stage_f32(sys.argv[2])
+    # --cpu: validation mode (pins jax to the host CPU backend — this box
+    # force-registers the TPU plugin regardless of JAX_PLATFORMS). The
+    # official scoreboards run on the chip.
+    cpu = "--cpu" in sys.argv
+    argv = [a for a in sys.argv if a != "--cpu"]
+    if len(argv) > 1 and argv[1] == "--stage-f32":
+        _stage_f32(argv[2], cpu=cpu)
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "--stage-polish":
-        _stage_polish(sys.argv[2], sys.argv[3])
+    if len(argv) > 1 and argv[1] == "--stage-polish":
+        _stage_polish(argv[2], argv[3], cpu=cpu)
         return
 
     tmp = tempfile.mkdtemp(prefix="sweep_f32_")
     f32_path = os.path.join(tmp, "f32.json")
     polished_path = os.path.join(tmp, "polished.json")
     here = os.path.abspath(__file__)
+    extra = ["--cpu"] if cpu else []
     # Two processes: x64 is a process-global flag, and the f32 stage must
     # not see it (under x64 every Python-float constant inside residual
     # closures silently promotes the whole computation to f64).
-    subprocess.run([sys.executable, here, "--stage-f32", f32_path], check=True)
     subprocess.run(
-        [sys.executable, here, "--stage-polish", f32_path, polished_path],
+        [sys.executable, here, "--stage-f32", f32_path] + extra, check=True
+    )
+    subprocess.run(
+        [sys.executable, here, "--stage-polish", f32_path, polished_path]
+        + extra,
         check=True,
     )
     with open(polished_path) as fh:
