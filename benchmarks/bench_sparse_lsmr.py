@@ -62,26 +62,37 @@ def run_config(blocks, label, convergence=False):
     iters = 10
     opts = lso.Options(iterations=iters, x_tol=0.0, f_tol=0.0, g_tol=0.0)
 
-    run = jax.jit(
-        lambda x: lso.solve(
-            prob,
-            lso.LevenbergMarquardt(lso.LSMR(maxiter=60)),
-            options=opts,
-            x0=x,
-        )
-    )
-    out = run(x0)
-    jax.block_until_ready(out)
-    mul_calls = int(np.asarray(out["mul_calls"]))
+    # Chain R repetitions inside one dispatch (the axon tunnel costs
+    # ~40 ms fixed latency per dispatch) and fetch only scalars;
+    # min-of-outer-reps (CLAUDE.md timing rules).
+    R = 4
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = run(x0 * (1.0 + 1e-6 * i))
-        np.asarray(out["ssr"])  # force host fetch (axon async caveat)
-    dt = (time.perf_counter() - t0) / reps
-    iters_done = int(np.asarray(out["iterations"]))
-    iters_per_s = iters_done / dt
+    @jax.jit
+    def run(x):
+        def rep(xr, _):
+            out = lso.solve(
+                prob,
+                lso.LevenbergMarquardt(lso.LSMR(maxiter=60)),
+                options=opts,
+                x0=xr,
+            )
+            return xr * (1.0 + 1e-6), (out["mul_calls"], out["iterations"])
+        _, (mc, its) = jax.lax.scan(rep, x, None, length=R)
+        return jnp.sum(mc), jnp.sum(its)
+
+    mc, its = run(x0)
+    mul_calls = int(np.asarray(mc)) // R
+
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        mc, its = run(x0 * (1.0 + 1e-6 * (i + 1)))
+        total_iters = int(np.asarray(its))
+        int(np.asarray(mc))
+        ts.append((time.perf_counter() - t0))
+    dt = min(ts)
+    iters_done = total_iters // R
+    iters_per_s = total_iters / dt
 
     # Baseline: single-core CPU matvec-bound estimate for the same work.
     # Each JVP/VJP touches ~4 nonzeros/row (tridiagonal + cubic diag) in the
@@ -110,25 +121,40 @@ def run_config(blocks, label, convergence=False):
     )
 
     if convergence:
-        # Solve-to-convergence at the f32 dtype-scaled g_tol: the honest
-        # "time-to-g_tol" number for the north-star scale point.
-        conv_opts = lso.Options(iterations=100, x_tol=0.0, f_tol=0.0)
-        run_conv = jax.jit(
-            lambda x: lso.solve(
+        # Solve-to-convergence at the f32 dtype-scaled g_tol from a
+        # perturbed start: the smooth x0 already sits near the solution
+        # (the h^2-scaled source makes the start's gradient fall under
+        # g_tol within one step), so an O(1) perturbation through the
+        # O(1)-Jacobian difference operator gives the honest
+        # "time-to-g_tol" trajectory for the north-star scale point.
+        # Oscillatory perturbation: the difference operator responds O(1)
+        # to it, so the solve does real curvature-resolvable work. (A
+        # *smooth* perturbation is h^2-suppressed: the damped step toward
+        # fixing it is below x_tol from the start, and the loop correctly
+        # x-stops at iteration 1 — measured; that trajectory is an
+        # ill-conditioning property of the BVP, not a scale demo.)
+        sign = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(dtype)
+        x0c = x0 + 0.1 * sign
+        # f32 dtype-scaled criteria triple (config.default_tolerances).
+        conv_opts = lso.Options(iterations=100)
+        @jax.jit
+        def run_conv(x):
+            out = lso.solve(
                 prob,
                 lso.LevenbergMarquardt(lso.LSMR(maxiter=60)),
                 options=conv_opts,
                 x0=x,
             )
-        )
-        out = run_conv(x0)
-        np.asarray(out["ssr"])  # compile + fetch
+            return out["converged"], out["iterations"], out["ssr"]
+
+        np.asarray(run_conv(x0c)[2])  # compile + fetch
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            out = run_conv(x0 * (1.0 + 1e-6 * (i + 1)))
-            conv = bool(np.asarray(out["converged"]))
-            its = int(np.asarray(out["iterations"]))
+            c_, its_, ssr_ = run_conv(x0c * (1.0 + 1e-6 * (i + 1)))
+            conv = bool(np.asarray(c_))
+            its = int(np.asarray(its_))
+            float(np.asarray(ssr_))
             ts.append(time.perf_counter() - t0)
         mem_line = ""
         try:
@@ -141,10 +167,10 @@ def run_config(blocks, label, convergence=False):
         print(
             json.dumps(
                 {
-                    "metric": f"sparse_lm_lsmr_time_to_gtol_{label}",
+                    "metric": f"sparse_lm_lsmr_time_to_convergence_{label}",
                     "value": round(min(ts), 3),
                     "unit": (
-                        f"s to g_tol=1e-5 (f32 default), {its} LM iters, "
+                        f"s to the f32 criteria triple, {its} LM iters, "
                         f"converged={conv}, m={label}{mem_line}"
                     ),
                     "vs_baseline": round(

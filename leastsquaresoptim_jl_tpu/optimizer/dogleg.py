@@ -136,6 +136,10 @@ def loop_pieces(
         batched and materialize and not problem.jacobian_is_sparse
         and not fused
     )
+    # Batched dense mode also drops the (m,) residual from the carry: the
+    # linearize primal at x is free with the Jacobian and bitwise equal to
+    # the carried value in lockstep (see the LM loop).
+    drop_fcur = drop_jstate and res_jac_fn is not None
     if fused_gram:
         jstate0 = x  # linearization point (finalize only)
     elif fused_flat:
@@ -152,7 +156,6 @@ def loop_pieces(
 
     carry = dict(
         x=x,
-        fcur=fcur,
         ssr=ssr,
         delta=jnp.asarray(radius0, dt),
         reuse=false,
@@ -177,6 +180,8 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
+    if not drop_fcur:
+        carry["fcur"] = fcur
     if fused_gram:
         carry["gram"] = gram0
         carry["grhs"] = grhs0
@@ -190,7 +195,8 @@ def loop_pieces(
 
     def body_fn(c):
         it = c["it"] + 1
-        x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
+        x, ssr = c["x"], c["ssr"]
+        fcur = None if drop_fcur else c["fcur"]
 
         # Linearization point reuse across rejected steps (reference :81).
         if fused_gram:
@@ -200,6 +206,12 @@ def loop_pieces(
         elif fused_flat:
             jstate = c["jstate"]
             op = operators.from_matrix(jnp.reshape(jstate, (m, n)))
+        elif drop_fcur:
+            # batched: recompute == reuse; the linearize primal IS the
+            # residual at x — no carried fcur.
+            fcur, J = res_jac_fn(x)
+            jstate = x
+            op = operators.from_matrix(J)
         elif materialize and batched:
             # batched: x unchanged on rejection => recompute == reuse
             J = jac_fn(x)
@@ -430,7 +442,6 @@ def loop_pieces(
             new_jstate = jstate
         new = dict(
             x=jnp.where(accepted | ~step_finite, x_trial, x),
-            fcur=jnp.where(accepted, ftrial, fcur),
             ssr=jnp.where(accepted, trial_ssr, ssr),
             delta=delta,
             reuse=~accepted,
@@ -453,6 +464,8 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
+        if not drop_fcur:
+            new["fcur"] = jnp.where(accepted, ftrial, fcur)
         if fused_gram:
             new["gram"] = jnp.where(accepted, gtrial, G)
             new["grhs"] = jnp.where(accepted, btrial, b)

@@ -145,6 +145,13 @@ def loop_pieces(
         batched and materialize and not problem.jacobian_is_sparse
         and not fused
     )
+    # Batched dense mode also drops the (m,) RESIDUAL from the carry:
+    # jax.linearize at x yields the residual primal for free with the
+    # Jacobian, and on a rejected step x is unchanged so the recomputation
+    # is bitwise the carried value — while a carried (B, m) fcur leaf is
+    # real per-iteration HBM traffic (write + read + the fraction-stop
+    # freeze-merge; m=64 pads to 128 lanes on TPU).
+    drop_fcur = drop_jstate and res_jac_fn is not None
     if fused_gram:
         # need_jacobian carries only the *accounting* flag (g_calls counts
         # fresh linearization points exactly as unfused); the evaluation
@@ -179,7 +186,6 @@ def loop_pieces(
     # is materialized so that is one cheap column reduction).
     carry = dict(
         x=x,
-        fcur=fcur,
         ssr=ssr,
         delta=jnp.asarray(radius0, dt),
         decrease_factor=jnp.asarray(2.0, dt),
@@ -201,6 +207,8 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
+    if not drop_fcur:
+        carry["fcur"] = fcur
     if fused_gram:
         carry["gram"] = gram0
         carry["grhs"] = grhs0
@@ -232,7 +240,8 @@ def loop_pieces(
 
     def body_fn(c):
         it = c["it"] + 1
-        x, fcur, ssr = c["x"], c["fcur"], c["ssr"]
+        x, ssr = c["x"], c["ssr"]
+        fcur = None if drop_fcur else c["fcur"]
         delta = c["delta"]
 
         # Jacobian reuse across rejected steps (reference :77-81). In the
@@ -251,6 +260,13 @@ def loop_pieces(
                     c["need_jacobian"], lambda: jac_fn(x), lambda: c["jstate"]
                 )
                 op = operators.from_matrix(jstate)
+            elif drop_fcur:
+                # batched: x unchanged on rejection => recompute == reuse,
+                # and the linearize primal IS the residual at x — no
+                # carried fcur (see drop_fcur above).
+                fcur, J = res_jac_fn(x)
+                jstate = x
+                op = operators.from_matrix(J)
             elif materialize:
                 # batched: x unchanged on rejection => recompute == reuse
                 J = jac_fn(x)
@@ -414,7 +430,6 @@ def loop_pieces(
             new_jstate = jstate
         new = dict(
             x=jnp.where(accepted | ~step_finite, x_trial, x),
-            fcur=jnp.where(accepted, ftrial, fcur),
             ssr=jnp.where(accepted, trial_ssr, ssr),
             delta=jnp.where(accepted, grow, shrink),
             decrease_factor=jnp.where(
@@ -434,6 +449,8 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
+        if not drop_fcur:
+            new["fcur"] = jnp.where(accepted, ftrial, fcur)
         if fused_gram:
             new["gram"] = jnp.where(accepted, gtrial, G)
             new["grhs"] = jnp.where(accepted, btrial, b)

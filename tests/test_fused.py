@@ -1,12 +1,14 @@
-"""Fused residual+Jacobian evaluation schedule (the batched default).
+"""Fused residual+Jacobian evaluation schedule (opt-in, ``fused=True``).
 
-ROADMAP #3 / round-2 VERDICT next #1: the batched headline workload is
-transcendental-bound and the unfused schedule evaluates the model twice per
-iteration (J at x, residual at the trial point). The fused schedule
-evaluates residual AND Jacobian together at the trial point — one shared
-primal via jax.linearize — and carries J, halving model-evaluation cost.
-These tests pin the semantic guarantee: same trajectory (iteration counts,
-work counters) and same minimizers as the unfused path.
+ROADMAP #3 / round-2 VERDICT next #1: the fused schedule evaluates
+residual AND Jacobian together at the trial point — one shared primal via
+jax.linearize; Gram products carried for Cholesky, flat J for QR —
+halving model-evaluation cost. On the data-bound headline workload it
+measured 0.95-0.99x (the model's exp() is not the bottleneck there), so
+the default stays unfused and the schedule is an opt-in for genuinely
+expensive residuals (benchmarks/README.md round 3). These tests pin the
+semantic guarantee: same trajectory (iteration counts, work counters) and
+same minimizers as the unfused path.
 
 Reference analogue: the user-g! analytic-Jacobian path
 (/root/reference/src/types.jl:54-66) — this is its TPU-efficient form.
@@ -161,3 +163,34 @@ def test_fused_nonfinite_poisoning_parity():
     raw = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=True)
     raw_u = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=False)
     assert int(raw["status"]) == int(raw_u["status"])
+
+
+@pytest.mark.parametrize(
+    "opt",
+    [lso.LevenbergMarquardt(lso.Cholesky()), lso.Dogleg(lso.Cholesky())],
+    ids=["lm", "dogleg"],
+)
+def test_fused_gram_bounds_active_set(opt):
+    """The fused-gram bounds refinement solves the active-set system in
+    Gram space (rhs J'(f - J dx_a) = b - G dx_a) — must match the unfused
+    operator-space refinement and still certify KKT at the bound."""
+    x = jnp.linspace(0.1, 6.0, 40)
+    true = jnp.array([2.4, 0.5])
+    y = true[0] * (1 - jnp.exp(-true[1] * x))
+
+    def f(b):
+        return y - b[0] * (1 - jnp.exp(-b[1] * x))
+
+    p = lso.least_squares_problem(f=f, x=jnp.array([3.0, 1.0]))
+    kw = dict(
+        options=lso.Options(x_tol=0.0, f_tol=0.0),
+        lower=jnp.array([2.6, 0.0]),
+        x0=jnp.array([3.0, 1.0]),
+    )
+    r_u = lso.solve(p, opt, fused=False, **kw)
+    r_f = lso.solve(p, opt, fused=True, **kw)
+    assert bool(r_f["g_converged"])  # KKT certified at the active bound
+    assert np.isclose(float(r_f["minimizer"][0]), 2.6)
+    assert np.allclose(np.asarray(r_f["minimizer"]),
+                       np.asarray(r_u["minimizer"]), atol=1e-10)
+    assert int(r_f["iterations"]) == int(r_u["iterations"])
