@@ -47,13 +47,17 @@ def main():
 
     A32 = jnp.asarray(A, jnp.float32)
     b32 = jnp.asarray(b, jnp.float32)
-    x0 = jnp.zeros((B, n), jnp.float32)
+    # Start near the solution: the linear LS is solved by one Gauss-Newton
+    # step, so the landed accuracy is purely the inner solver's (the point
+    # of the comparison); the remaining iterations are the convergence
+    # bookkeeping both routes share.
+    x0 = jnp.asarray(xtrue + 0.3 * rng.standard_normal((B, n)), jnp.float32)
 
     def f(x, data):
         Ai, bi = data
         return jnp.sum(Ai * x[None, :], axis=-1) - bi
 
-    opts = lso.Options(iterations=8)
+    opts = lso.Options(iterations=12)
     R = 6
 
     def make_run(solver):
@@ -78,7 +82,7 @@ def main():
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            ssum, mins = run(x0 * 0 + 1e-6 * i, A32, b32)
+            ssum, mins = run(x0 * (1.0 + 1e-4 * i), A32, b32)
             float(np.asarray(ssum))
             ts.append((time.perf_counter() - t0) / R)
         sol = np.asarray(mins, np.float64)
