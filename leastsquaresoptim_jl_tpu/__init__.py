@@ -41,7 +41,7 @@ from .solver.base import LSMR, QR, Cholesky
 from . import models
 from .models.curves import curve_fit, curve_fit_batch
 from .loss import LOSSES, robustify
-from .multistart import latin_hypercube_starts, optimize_multistart
+from .multistart import best_of_raw, latin_hypercube_starts, optimize_multistart
 
 __version__ = "0.1.0"
 
@@ -70,6 +70,7 @@ __all__ = [
     "curve_fit",
     "curve_fit_batch",
     "optimize_multistart",
+    "best_of_raw",
     "latin_hypercube_starts",
     "robustify",
     "LOSSES",

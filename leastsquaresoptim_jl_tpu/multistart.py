@@ -19,7 +19,37 @@ import numpy as np
 from .batch import solve_batch
 from .optimizer.common import Options
 
-__all__ = ["optimize_multistart", "latin_hypercube_starts"]
+__all__ = ["optimize_multistart", "latin_hypercube_starts", "best_of_raw"]
+
+
+def best_of_raw(raw):
+    """Pure on-device best-row selection from a batched raw result pytree.
+
+    Picks the row with the smallest ssr among converged finite rows —
+    falling back to all finite rows when none converged — and slices every
+    batch-leading leaf to it. jit/vmap/pjit-safe (lax.cond-free: the
+    fallback is a mask select), so a full multistart pipeline
+    ``best_of_raw(solve_batch(f, starts, ...))`` can live inside one
+    compiled program (e.g. chained under lax.map, or per-problem under
+    vmap). ``optimize_multistart`` uses it for its pick.
+    """
+    ssr = raw["ssr"]
+    conv = raw["converged"]
+    finite = jnp.isfinite(ssr)
+    pick = conv & finite
+    use_conv = jnp.any(pick)
+    mask = jnp.where(use_conv, pick, finite)
+    masked = jnp.where(mask, ssr, jnp.inf)
+    best = jnp.argmin(masked)
+    S = ssr.shape[0]
+    return jax.tree_util.tree_map(
+        lambda leaf: (
+            leaf[best]
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == S
+            else leaf
+        ),
+        raw,
+    )
 
 
 def latin_hypercube_starts(key, num_starts: int, lower, upper):
@@ -60,7 +90,6 @@ def optimize_multistart(
     ``data``, if given, is shared by every start (not batched).
     """
     starts = jnp.asarray(starts)
-    S = starts.shape[0]
 
     # Shared data rides as a broadcast (in_axes=None) runtime argument, not
     # a closure constant: large datasets aren't baked into the HLO, and a
@@ -79,14 +108,4 @@ def optimize_multistart(
         data_axis=None,
     )
 
-    ssr = np.asarray(raw["ssr"])
-    conv = np.asarray(raw["converged"])
-    finite = np.isfinite(ssr)
-    pick_from = conv & finite if np.any(conv & finite) else finite
-    masked = np.where(pick_from, ssr, np.inf)
-    best = int(np.argmin(masked))
-    best_raw = jax.tree_util.tree_map(
-        lambda leaf: leaf[best] if hasattr(leaf, "shape") and leaf.shape[:1] == (S,) else leaf,
-        raw,
-    )
-    return best_raw, raw
+    return best_of_raw(raw), raw

@@ -63,3 +63,42 @@ def test_multistart_with_shared_data():
         f, starts, data=(xd, yd), output_length=24
     )
     assert np.allclose(best["minimizer"], [240.0, 5e-4], rtol=1e-5)
+
+
+def test_best_of_raw_jit_composable():
+    """best_of_raw is pure and on-device: a full multistart pipeline
+    (solve_batch -> best pick) compiles into ONE program, and the pick
+    matches optimize_multistart's result."""
+    import jax
+
+    xdata = jnp.linspace(0.5, 8.0, 40)
+    true = jnp.array([3.0, 0.7])
+    ydata = true[0] * (1.0 - jnp.exp(-true[1] * xdata))
+
+    def f(beta, d):
+        x, y = d
+        return y - beta[0] * (1.0 - jnp.exp(-beta[1] * x))
+
+    starts = lso.latin_hypercube_starts(
+        jax.random.PRNGKey(1), 16, jnp.array([0.5, 0.05]), jnp.array([10.0, 3.0])
+    )
+
+    @jax.jit
+    def pipeline(starts, d):
+        raw = lso.solve_batch(
+            f, starts, d, output_length=40, data_axis=None,
+            options=lso.Options(iterations=60),
+        )
+        return lso.best_of_raw(raw)
+
+    best = pipeline(starts, (xdata, ydata))
+    assert bool(np.asarray(best["converged"]))
+    assert np.allclose(np.asarray(best["minimizer"]), np.asarray(true),
+                       atol=1e-6)
+    # matches the host-level verb
+    host_best, _ = lso.optimize_multistart(
+        f, starts, data=(xdata, ydata), output_length=40,
+        options=lso.Options(iterations=60),
+    )
+    assert np.allclose(np.asarray(best["minimizer"]),
+                       np.asarray(host_best["minimizer"]))
