@@ -94,7 +94,7 @@ _HUTCHINSON_PROBES = 32
 _EXACT_COLNORMS_MAX_N = 32
 
 
-def _default_colnorms2(jvp_fn, rmatvec, m: int, n: int, dtype):
+def _default_colnorms2(jvp_fn, rmatvec, m: int, n: int, dtype, x_lin):
     """diag(J'J) for a matrix-free operator: exact (n vmapped JVPs) in the
     small-n regime, Hutchinson-estimated beyond. Users with structure should
     supply exact column norms instead (problem.colnorms_fn) — the estimate
@@ -107,9 +107,17 @@ def _default_colnorms2(jvp_fn, rmatvec, m: int, n: int, dtype):
             return jnp.sum(cols * cols, axis=1)
     else:
         def colnorms2():
-            # Hutchinson diagonal estimate of J'J with fixed Rademacher
-            # probes: E[(J'z)_i^2] = (J'J)_ii.
-            key = jax.random.PRNGKey(0)
+            # Hutchinson diagonal estimate of J'J with Rademacher probes:
+            # E[(J'z)_i^2] = (J'J)_ii. The key is folded from the
+            # linearization point's bits, so the probe set (and its O(1/√k)
+            # bias pattern) decorrelates across outer iterations and across
+            # vmapped problems instead of repeating one fixed realization —
+            # while staying deterministic for a given solve (a carried key
+            # would bloat every optimizer carry for this one estimator).
+            bits = jax.lax.bitcast_convert_type(
+                x_lin.astype(jnp.float32), jnp.uint32
+            )
+            key = jax.random.fold_in(jax.random.PRNGKey(0), jnp.sum(bits))
             z = jax.random.rademacher(
                 key, (_HUTCHINSON_PROBES, m), dtype=dtype
             )
@@ -143,7 +151,7 @@ def from_linearization(
     if colnorms_fn is not None:
         colnorms2 = lambda: colnorms_fn(x_lin)
     else:
-        colnorms2 = _default_colnorms2(jvp_fn, rmatvec, m, n, x_lin.dtype)
+        colnorms2 = _default_colnorms2(jvp_fn, rmatvec, m, n, x_lin.dtype, x_lin)
 
     return JacobianOperator(
         matvec=jvp_fn, rmatvec=rmatvec, colnorms2=colnorms2, m=m, n=n, J=None
@@ -166,7 +174,7 @@ def from_user(
     if colnorms_fn is not None:
         colnorms2 = lambda: colnorms_fn(x_lin)
     else:
-        colnorms2 = _default_colnorms2(matvec, rmatvec, m, n, x_lin.dtype)
+        colnorms2 = _default_colnorms2(matvec, rmatvec, m, n, x_lin.dtype, x_lin)
     return JacobianOperator(
         matvec=matvec, rmatvec=rmatvec, colnorms2=colnorms2, m=m, n=n, J=None
     )
