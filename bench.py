@@ -23,6 +23,15 @@ algorithm, also run to convergence at the same tolerances.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 An ablation of the batched-mode reuse fix (lax.cond branches made
 unconditional in vmap lockstep) goes to stderr.
+
+``--hard`` runs the robustness variant of the same workload (VERDICT
+round 2, weak #4: the headline problem is benign): 1% Gaussian noise on
+every sample and log-uniform 0.25-4x starting points, a 150-iteration
+cap and a 95% stop (a noise-floor fit takes more iterations to certify
+its f-criterion plateau, and a slice of the far starts walks the b2
+saturation ridge). Accuracy under noise is bounded by the data, not the
+solver: with sigma = 1% of the amplitude over m=64 samples the
+parameter noise floor is ~0.2-1% relative.
 """
 
 import json
@@ -87,6 +96,10 @@ def main():
 
     import leastsquaresoptim_jl_tpu as lso
 
+    hard = "--hard" in sys.argv
+    max_iters = 150 if hard else MAX_ITERS
+    conv_frac = 0.95 if hard else CONV_FRAC
+
     B, m = 100_000, 64
     dtype = jnp.float32
     rng = np.random.default_rng(0)
@@ -99,7 +112,15 @@ def main():
         [rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], axis=1
     )
     Y = betas_true[:, :1] * (1.0 - np.exp(-betas_true[:, 1:2] * xdata[None, :]))
-    x0s = betas_true * rng.uniform(0.7, 1.4, size=(B, 2))
+    if hard:
+        # 1% of each curve's amplitude b0, i.i.d. per sample; starts
+        # log-uniform in [0.25, 4]x the truth (vs the benign 0.7-1.4x).
+        Y = Y + 0.01 * betas_true[:, :1] * rng.standard_normal((B, m))
+        x0s = betas_true * np.exp(
+            rng.uniform(np.log(0.25), np.log(4.0), size=(B, 2))
+        )
+    else:
+        x0s = betas_true * rng.uniform(0.7, 1.4, size=(B, 2))
 
     def f(beta, data):
         xd, yd = data
@@ -113,14 +134,14 @@ def main():
     true_j = jnp.asarray(betas_true, dtype)
 
     opts = lso.Options(
-        iterations=MAX_ITERS, x_tol=X_TOL, f_tol=F_TOL, g_tol=G_TOL
+        iterations=max_iters, x_tol=X_TOL, f_tol=F_TOL, g_tol=G_TOL
     )
 
     def solve_to_conv(x0, d):
         raw = lso.solve_batch(
             f, x0, d, lso.LevenbergMarquardt(lso.Cholesky()),
             output_length=m, options=opts, data_axis=(None, 0),
-            min_converged_fraction=CONV_FRAC,
+            min_converged_fraction=conv_frac,
         )
         return raw["minimizer"], raw["converged"]
 
@@ -204,7 +225,7 @@ def main():
                     raw = lso.solve_batch(
                         f, x0 * c, d, lso.LevenbergMarquardt(lso.Cholesky()),
                         output_length=m, options=opts, data_axis=(None, 0),
-                        min_converged_fraction=CONV_FRAC, fused=fused,
+                        min_converged_fraction=conv_frac, fused=fused,
                     )
                     return raw["minimizer"], raw["converged"]
                 mins, convs = jax.lax.map(one, perturbs)
@@ -240,18 +261,23 @@ def main():
     nb = 50
     t0 = time.perf_counter()
     for i in range(nb):
-        _numpy_lm_fit(xdata, Y[i], x0s[i].copy())
+        _numpy_lm_fit(xdata, Y[i], x0s[i].copy(), iters=max_iters)
     np_time_per_fit = (time.perf_counter() - t0) / nb
     baseline_fits_per_s = 1.0 / np_time_per_fit
 
+    metric = "batched_lm_fits_to_convergence_per_second"
+    workload = "100k exponential curve fits per batch"
+    if hard:
+        metric += "_hard"
+        workload += ", 1% noise, 0.25-4x starts"
     print(
         json.dumps(
             {
-                "metric": "batched_lm_fits_to_convergence_per_second",
+                "metric": metric,
                 "value": round(fits_per_s, 1),
                 "unit": (
-                    "converged fits/s (100k exponential curve fits per batch, "
-                    f"LM to f32 tolerances, >={CONV_FRAC:.0%} stop, f32)"
+                    f"converged fits/s ({workload}, "
+                    f"LM to f32 tolerances, >={conv_frac:.0%} stop, f32)"
                 ),
                 "vs_baseline": round(fits_per_s / baseline_fits_per_s, 2),
             }

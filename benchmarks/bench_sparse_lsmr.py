@@ -7,7 +7,13 @@ cubic nonlinearity, with a 10:1 residual:parameter ratio from 10 independent
 observation blocks. J is never materialized — the operator path is
 jax.linearize JVP/VJP closures (ops/operators.py), the damped LM system is
 an operator combinator (solver/lsmr.py), and colnorms come from the
-Hutchinson estimator.
+Hutchinson estimator — plus an ``_exact_colnorms`` variant per config
+supplying the closed-form diag(J'J) of the banded structure through the
+``colnorms_fn`` hook, the reference's own operator contract (custom
+operators there MUST define ``colsumabs2!``, src/utils/utils.jl:139-161):
+column j sees (2 + 3h²/2·(x_j + t_j s_b + 1)²) on each block diagonal and
+a -1 from each tridiagonal neighbor row. The exact form is self-checked
+against AD column norms at small size before timing.
 
 Prints one JSON line per config: {"metric", "value", "unit",
 "vs_baseline"} where value = outer LM iterations/s and vs_baseline
@@ -31,15 +37,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run_config(blocks, label, convergence=False):
-    import jax
+def _build(blocks, n, dtype):
+    """Residual + closed-form exact colnorms for the banded BVP system."""
     import jax.numpy as jnp
 
-    import leastsquaresoptim_jl_tpu as lso
-
-    n = 100_000          # parameters
-    m = blocks * n
-    dtype = jnp.float32
     h = 1.0 / (n + 1)
     t = jnp.arange(1, n + 1, dtype=dtype) * h
     # per-block shift makes blocks independent observations of x
@@ -54,11 +55,55 @@ def run_config(blocks, label, convergence=False):
         r = core[None, :] + (h * h / 2.0) * src
         return r.reshape(-1)
 
+    def colnorms_fn(x):
+        # diag(J'J) exactly: row (b, i) has 2 + (3h²/2)(x_i + t_i s_b + 1)²
+        # at column i and -1 at columns i±1, so column j collects the
+        # squared block diagonals plus one 1 per tridiagonal neighbor row
+        # ((b, j-1) when j ≥ 1, (b, j+1) when j ≤ n-2, per block).
+        c = (3.0 * h * h / 2.0) * (
+            x[None, :] + t[None, :] * shifts[:, None] + 1.0
+        ) ** 2
+        diag = jnp.sum((2.0 + c) ** 2, axis=0)
+        nb = jnp.full_like(x, 2.0 * blocks)
+        nb = nb.at[0].add(-float(blocks)).at[-1].add(-float(blocks))
+        return diag + nb
+
     x0 = (t * (t - 1.0)).astype(dtype)
+    return residual_fn, colnorms_fn, x0
+
+
+def _selfcheck_colnorms():
+    """Exact-colnorms formula vs AD column norms at small size (f64/CPU
+    would be ideal, but the check runs wherever the bench runs — the
+    agreement bound is loose enough for f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    residual_fn, colnorms_fn, x0 = _build(blocks=3, n=200, dtype=jnp.float32)
+    J = jax.jacfwd(residual_fn)(x0 + 0.3)
+    ad = jnp.sum(J * J, axis=0)
+    exact = colnorms_fn(x0 + 0.3)
+    err = float(jnp.max(jnp.abs(ad - exact) / jnp.maximum(ad, 1e-30)))
+    assert err < 1e-4, f"exact colnorms formula off by {err}"
+
+
+def run_config(blocks, label, convergence=False, exact_colnorms=False):
+    import jax
+    import jax.numpy as jnp
+
+    import leastsquaresoptim_jl_tpu as lso
+
+    n = 100_000          # parameters
+    m = blocks * n
+    dtype = jnp.float32
+    residual_fn, colnorms_fn, x0 = _build(blocks, n, dtype)
     prob = lso.LeastSquaresProblem(
         residual_fn=residual_fn, x0=x0, m=m, jac_fn=None,
         materialize_jacobian=False,
+        colnorms_fn=colnorms_fn if exact_colnorms else None,
     )
+    if exact_colnorms:
+        label = f"{label}_exact_colnorms"
     iters = 10
     opts = lso.Options(iterations=iters, x_tol=0.0, f_tol=0.0, g_tol=0.0)
 
@@ -184,8 +229,11 @@ def run_config(blocks, label, convergence=False):
 
 
 def main():
+    _selfcheck_colnorms()
     run_config(blocks=10, label="1M")
+    run_config(blocks=10, label="1M", exact_colnorms=True)
     run_config(blocks=100, label="10M", convergence=True)
+    run_config(blocks=100, label="10M", convergence=True, exact_colnorms=True)
 
 
 if __name__ == "__main__":

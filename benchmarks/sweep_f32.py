@@ -85,8 +85,28 @@ def _stage_f32(out_path, cpu=False):
             # certified starts widened 4x, plus the certified starts
             # themselves. Shared across this dataset's runs.
             s_np = [np.asarray(s, np.float64) for s in d["starts"]]
-            lo = jnp.asarray(np.minimum.reduce(s_np) / 4.0, jnp.float32)
-            hi = jnp.asarray(np.maximum.reduce(s_np) * 4.0, jnp.float32)
+            # Sign-aware 4x widening. All-positive components keep the
+            # multiplicative [min/4, max*4] (scale parameters are
+            # log-distributed; this is the box behind the recorded
+            # rescues). A naive min/4 SHRINKS the negative side for
+            # min < 0 and inverts the box when every start is negative —
+            # those components widen by magnitude instead: all-negative
+            # mirrors the multiplicative box, mixed-sign/zero components
+            # widen 4x about the center with a |center|/2-then-1
+            # halfwidth floor so zero-spread still gets a real box.
+            smin = np.minimum.reduce(s_np)
+            smax = np.maximum.reduce(s_np)
+            center = 0.5 * (smin + smax)
+            half = np.maximum(0.5 * (smax - smin),
+                              np.maximum(0.5 * np.abs(center), 1.0))
+            lo_f = np.where(smin > 0, smin / 4.0,
+                            np.where(smax < 0, smin * 4.0,
+                                     center - 4.0 * half))
+            hi_f = np.where(smin > 0, smax * 4.0,
+                            np.where(smax < 0, smax / 4.0,
+                                     center + 4.0 * half))
+            lo = jnp.asarray(lo_f, jnp.float32)
+            hi = jnp.asarray(hi_f, jnp.float32)
             escape_starts = jnp.concatenate(
                 [
                     lso.latin_hypercube_starts(

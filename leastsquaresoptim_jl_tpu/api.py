@@ -93,21 +93,81 @@ _PROBLEM_CACHE: "dict" = {}
 _PROBLEM_CACHE_MAX = 128
 
 
+def _captured_arrays(f, depth=2, seen=None):
+    """Array objects reachable from ``f``'s closure cells, referenced
+    globals, and functools.partial payloads (shallow containers; callables
+    recursed depth-limited). Used to fingerprint the data a residual
+    function closes over: identity-keying on ``f`` alone would keep
+    serving a cached problem (and its compiled executable, which baked the
+    old data in as trace constants) after the user rebinds the captured
+    array — a silent wrong-result mode, since the function object is
+    unchanged."""
+    import functools as _ft
+
+    import numpy as np
+
+    out = []
+    seen = set() if seen is None else seen
+    if depth < 0 or id(f) in seen:
+        return out
+    seen.add(id(f))
+
+    def collect(o):
+        if isinstance(o, (np.ndarray, jax.Array)):
+            out.append(o)
+        elif isinstance(o, (tuple, list)):
+            for x in o:
+                if isinstance(x, (np.ndarray, jax.Array)):
+                    out.append(x)
+        elif isinstance(o, dict):
+            for x in o.values():
+                if isinstance(x, (np.ndarray, jax.Array)):
+                    out.append(x)
+        elif callable(o) and not isinstance(o, type):
+            out.extend(_captured_arrays(o, depth - 1, seen))
+
+    if isinstance(f, _ft.partial):
+        collect(f.func)
+        for o in f.args:
+            collect(o)
+        for o in f.keywords.values():
+            collect(o)
+        return out
+    code = getattr(f, "__code__", None)
+    for cell in getattr(f, "__closure__", None) or ():
+        try:
+            collect(cell.cell_contents)
+        except ValueError:  # empty cell
+            continue
+    gvars = getattr(f, "__globals__", None)
+    if code is not None and gvars is not None:
+        for name in code.co_names:
+            if name in gvars:
+                collect(gvars[name])
+    return out
+
+
 def _problem_cache_key(f, g, output_length, autodiff, materialize_jacobian,
                        loss, f_scale, x0):
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten(x0)
+    # The fingerprint arrays are returned alongside the key: the cache
+    # entry must hold strong references to them so a dropped array's id
+    # cannot be recycled by a new allocation and collide back onto a
+    # stale entry.
+    captured = _captured_arrays(f) + ([] if g is None else _captured_arrays(g))
     try:
         spec = tuple(
             (tuple(np.shape(l)), np.result_type(l).str) for l in leaves
         )
         key = (f, g, output_length, autodiff, materialize_jacobian,
-               loss, f_scale, treedef, spec)
+               loss, f_scale, treedef, spec,
+               tuple(id(a) for a in captured))
         hash(key)
     except TypeError:
-        return None  # unhashable callable/structure: skip caching
-    return key
+        return None, captured  # unhashable callable/structure: skip caching
+    return key, captured
 
 
 @functools.lru_cache(maxsize=512)
@@ -290,11 +350,12 @@ def optimize(
     Note this keys on the *identity* of ``f``: a lambda recreated per call
     defeats it — define the residual once, or use ``optimize_problem``.
     """
-    key = _problem_cache_key(
+    key, captured = _problem_cache_key(
         f, g, output_length, autodiff, materialize_jacobian,
         loss, f_scale, x0,
     )
-    problem = _PROBLEM_CACHE.get(key) if key is not None else None
+    entry = _PROBLEM_CACHE.get(key) if key is not None else None
+    problem = entry[0] if entry is not None else None
     if problem is None:
         base_f = f
         if loss != "linear":
@@ -318,7 +379,9 @@ def optimize(
         if key is not None:
             if len(_PROBLEM_CACHE) >= _PROBLEM_CACHE_MAX:
                 _PROBLEM_CACHE.pop(next(iter(_PROBLEM_CACHE)))
-            _PROBLEM_CACHE[key] = problem
+            # captured rides along to pin the fingerprinted arrays' ids
+            # (see _captured_arrays).
+            _PROBLEM_CACHE[key] = (problem, captured)
     return optimize_problem(problem, optimizer, x0=x0, **kwargs)
 
 

@@ -188,7 +188,11 @@ def _solve_batch_fraction(
     import math
 
     B = x0_batch.shape[0]
-    need = jnp.int32(min(B, int(math.ceil(frac * B))))
+    # The 1e-9 slack keeps an exact fraction exact: 0.07 * 100 rounds to
+    # 7.000000000000001 in binary, and a bare ceil would demand an 8th
+    # converged fit — one extra straggler that can hold the whole batch to
+    # the iteration cap.
+    need = jnp.int32(min(B, max(1, int(math.ceil(frac * B - 1e-9)))))
 
     def cond(state):
         _, active = state

@@ -121,3 +121,103 @@ def update_trace(trace, opts: Options, it, ssr, maxabs_gr):
                 print(f"{int(i):6d}   {float(v):14e}   {float(g):14e}")
         jax.debug.callback(_print, it, ssr, maxabs_gr)
     return trace
+
+
+class EvalSchedule(NamedTuple):
+    """Evaluation-schedule flags + fused evaluators shared by the LM and
+    Dogleg loop setups (previously duplicated near-verbatim in both files,
+    where a fix to one could silently miss the other).
+
+    ``fused_gram``: Cholesky consumes J only through (J'J, J'r) — the
+    fused schedule carries those Gram products instead of J.
+    ``fused_flat``: other solvers carry J flattened to (m*n,).
+    ``drop_jstate``: batched dense mode recomputes J each iteration
+    (recompute == reuse in vmap lockstep) and carries the (n,)
+    linearization point instead of the (m, n) J.
+    ``drop_fcur``: batched dense mode also drops the (m,) residual from
+    the carry — ONLY when res_jac_fn shares one primal evaluation between
+    r and J (forward-mode linearize; problem.res_jac_shares_primal): for
+    a user Jacobian or reverse mode, res_jac_fn is two independent
+    evaluations and recomputing the residual every iteration would cost a
+    third model evaluation instead of being free.
+    """
+
+    res_jac_fn: Optional[object]
+    res_gram_fn: Optional[object]
+    fused_gram: bool
+    fused_flat: bool
+    drop_jstate: bool
+    drop_fcur: bool
+
+
+def build_eval_schedule(problem, solver_tag, fused: bool, batched: bool) -> EvalSchedule:
+    from ..ops.gram import gram_and_rhs
+    from ..solver.base import Cholesky
+
+    materialize = problem.materialize_jacobian
+    if fused and (
+        not materialize
+        or problem.jacobian_is_sparse
+        or problem.res_jac_fn is None
+    ):
+        raise ValueError(
+            "fused evaluation requires a dense materialized Jacobian with "
+            "a res_jac_fn (least_squares_problem builds one automatically)"
+        )
+    res_jac_fn = problem.res_jac_fn
+    fused_gram = fused and isinstance(solver_tag, Cholesky)
+    fused_flat = fused and not fused_gram
+
+    if fused_gram:
+        def res_gram_fn(xx):
+            r, J = res_jac_fn(xx)
+            G, b = gram_and_rhs(J, r)
+            return r, G, b
+    else:
+        res_gram_fn = None
+
+    drop_jstate = (
+        batched and materialize and not problem.jacobian_is_sparse
+        and not fused
+    )
+    drop_fcur = (
+        drop_jstate
+        and res_jac_fn is not None
+        and getattr(problem, "res_jac_shares_primal", False)
+    )
+    return EvalSchedule(
+        res_jac_fn, res_gram_fn, fused_gram, fused_flat,
+        drop_jstate, drop_fcur,
+    )
+
+
+def seed_eval(sched: EvalSchedule, problem, x):
+    """Initial model evaluation + Jacobian-carry seed for the loop carry.
+
+    Returns ``(fcur, gram0, grhs0, jstate0, jac_seeded)`` — gram0/grhs0
+    are None unless ``fused_gram``; ``jac_seeded`` is True when jstate0 is
+    a real Jacobian evaluation at x (sparse BCOO carry: a zeros
+    placeholder has no pattern, and since the seed IS the Jacobian at x0
+    the first iteration reuses it instead of recomputing).
+    """
+    m, n = problem.m, problem.n
+    gram0 = grhs0 = None
+    if sched.fused_gram:
+        fcur, gram0, grhs0 = sched.res_gram_fn(x)
+        jstate0 = x  # linearization point (finalize only)
+    elif sched.fused_flat:
+        fcur, jfull0 = sched.res_jac_fn(x)
+        jstate0 = jnp.reshape(jfull0, (m * n,))
+    else:
+        fcur = problem.residual_fn(x)
+        jstate0 = None
+    jac_seeded = False
+    if jstate0 is None:
+        if not problem.materialize_jacobian or sched.drop_jstate:
+            jstate0 = x
+        elif problem.jacobian_is_sparse:
+            jstate0 = problem.jac_fn(x)
+            jac_seeded = True
+        else:
+            jstate0 = jnp.zeros((m, n), x.dtype)
+    return fcur, gram0, grhs0, jstate0, jac_seeded

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import operators
-from ..ops.gram import gram_and_rhs
 from ..ops.linalg import (
     clip_step_to_bounds,
     maxabs_projected_gradient,
@@ -45,9 +44,10 @@ from ..ops.linalg import (
 )
 from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
-from ..solver.base import Cholesky as _CholeskyTag
 from ..solver.cholesky import solve_spd_system
 from .common import (
+    build_eval_schedule,
+    seed_eval,
     STATUS_NOT_FINITE,
     STATUS_OK,
     Options,
@@ -88,24 +88,12 @@ def loop_pieces(
     m, n = problem.m, problem.n
     solve_gn, solve_damped = solver_fns(solver_tag)
 
-    if fused and (
-        not materialize
-        or problem.jacobian_is_sparse
-        or problem.res_jac_fn is None
-    ):
-        raise ValueError(
-            "fused evaluation requires a dense materialized Jacobian with "
-            "a res_jac_fn (least_squares_problem builds one automatically)"
-        )
-    res_jac_fn = problem.res_jac_fn
-    fused_gram = fused and isinstance(solver_tag, _CholeskyTag)
-    fused_flat = fused and not fused_gram
-
-    if fused_gram:
-        def res_gram_fn(xx):
-            r, J = res_jac_fn(xx)
-            G, b = gram_and_rhs(J, r)
-            return r, G, b
+    # Evaluation schedule (fused validation, Gram-carry/flat-J/drop flags)
+    # shared with the LM loop — see common.EvalSchedule for semantics.
+    sched = build_eval_schedule(problem, solver_tag, fused, batched)
+    res_jac_fn, res_gram_fn = sched.res_jac_fn, sched.res_gram_fn
+    fused_gram, fused_flat = sched.fused_gram, sched.fused_flat
+    drop_jstate, drop_fcur = sched.drop_jstate, sched.drop_fcur
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
@@ -114,45 +102,13 @@ def loop_pieces(
         opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_DOGLEG
     )
 
-    if fused_gram:
-        fcur, gram0, grhs0 = res_gram_fn(x)
-    elif fused:
-        fcur, jfull0 = res_jac_fn(x)
-    else:
-        fcur = residual_fn(x)
+    fcur, gram0, grhs0, jstate0, _jac_seeded = seed_eval(sched, problem, x)
     ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
     zero_x = jnp.zeros((n,), dt)
 
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
-
-    # Batched dense mode recomputes J every iteration: carry the (n,)
-    # linearization point instead of the (m, n) J (see
-    # levenberg_marquardt.py — finalize recomputes J there, identical to
-    # the carried-J path even on a poisoned non-finite exit). Fused modes
-    # carry the Gram products / flat J instead (LM module docstring).
-    drop_jstate = (
-        batched and materialize and not problem.jacobian_is_sparse
-        and not fused
-    )
-    # Batched dense mode also drops the (m,) residual from the carry: the
-    # linearize primal at x is free with the Jacobian and bitwise equal to
-    # the carried value in lockstep (see the LM loop).
-    drop_fcur = drop_jstate and res_jac_fn is not None
-    if fused_gram:
-        jstate0 = x  # linearization point (finalize only)
-    elif fused_flat:
-        jstate0 = jnp.reshape(jfull0, (m * n,))
-    elif not materialize:
-        jstate0 = x
-    elif drop_jstate:
-        jstate0 = x
-    elif problem.jacobian_is_sparse:
-        # Sparse carry: static BCOO pattern, only data flows (see LM loop).
-        jstate0 = jac_fn(x)
-    else:
-        jstate0 = jnp.zeros((m, n), dt)
 
     carry = dict(
         x=x,

@@ -42,19 +42,19 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import operators
-from ..ops.gram import gram_and_rhs
 from ..ops.linalg import clip_step_to_bounds, maxabs_projected_gradient, sumabs2
 from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
-from ..solver.base import Cholesky as _CholeskyTag
 from ..solver.cholesky import solve_spd_system
 from .common import (
     STATUS_NOT_FINITE,
     STATUS_OK,
     Options,
     assess_convergence,
+    build_eval_schedule,
     init_trace,
     resolve_tolerances,
+    seed_eval,
     update_trace,
 )
 
@@ -96,88 +96,25 @@ def loop_pieces(
     m, n = problem.m, problem.n
     solve_gn, solve_damped = solver_fns(solver_tag)
 
-    if fused and (
-        not materialize
-        or problem.jacobian_is_sparse
-        or problem.res_jac_fn is None
-    ):
-        raise ValueError(
-            "fused evaluation requires a dense materialized Jacobian with "
-            "a res_jac_fn (least_squares_problem builds one automatically)"
-        )
-    res_jac_fn = problem.res_jac_fn
-    # Cholesky consumes J only through (J'J, J'r): carry those instead of J
-    # (see module docstring).
-    fused_gram = fused and isinstance(solver_tag, _CholeskyTag)
-    fused_flat = fused and not fused_gram
-
-    if fused_gram:
-        def res_gram_fn(xx):
-            r, J = res_jac_fn(xx)
-            G, b = gram_and_rhs(J, r)
-            return r, G, b
+    # Evaluation schedule (fused validation, Gram-carry/flat-J/drop flags)
+    # shared with the dogleg loop — see common.EvalSchedule for semantics.
+    sched = build_eval_schedule(problem, solver_tag, fused, batched)
+    res_jac_fn, res_gram_fn = sched.res_jac_fn, sched.res_gram_fn
+    fused_gram, fused_flat = sched.fused_gram, sched.fused_flat
+    drop_jstate, drop_fcur = sched.drop_jstate, sched.drop_fcur
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
     x_tol, f_tol, g_tol = resolve_tolerances(opts, dt)
     radius0 = opts.radius if opts.radius is not None else config.DEFAULT_RADIUS_LM
 
-    if fused_gram:
-        fcur, gram0, grhs0 = res_gram_fn(x)
-    elif fused:
-        fcur, jfull0 = res_jac_fn(x)
-    else:
-        fcur = residual_fn(x)
+    fcur, gram0, grhs0, jstate0, jac_seeded = seed_eval(sched, problem, x)
+    need_jacobian0 = not jac_seeded
     ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
 
     trace = init_trace(opts, dt)
     trace = update_trace(trace, opts, jnp.int32(0), ssr, jnp.asarray(jnp.inf, dt))
-
-    # In batched dense mode the Jacobian is recomputed every iteration
-    # (recompute == reuse in vmap lockstep), so carrying the (m, n) jstate
-    # would only add per-iteration HBM traffic; the carry holds the (n,)
-    # linearization point instead (like the matrix-free mode) and finalize
-    # recomputes J there — identical to the carried-J path even when the
-    # loop exits on a non-finite step that poisoned x (the linearization
-    # point is always the last *finite* x the loop iterated on).
-    drop_jstate = (
-        batched and materialize and not problem.jacobian_is_sparse
-        and not fused
-    )
-    # Batched dense mode also drops the (m,) RESIDUAL from the carry:
-    # jax.linearize at x yields the residual primal for free with the
-    # Jacobian, and on a rejected step x is unchanged so the recomputation
-    # is bitwise the carried value — while a carried (B, m) fcur leaf is
-    # real per-iteration HBM traffic (write + read + the fraction-stop
-    # freeze-merge; m=64 pads to 128 lanes on TPU).
-    drop_fcur = drop_jstate and res_jac_fn is not None
-    if fused_gram:
-        # need_jacobian carries only the *accounting* flag (g_calls counts
-        # fresh linearization points exactly as unfused); the evaluation
-        # itself rides the fused trial step. jstate here is the
-        # linearization point for finalize's Jacobian recomputation.
-        jstate0 = x
-        need_jacobian0 = True
-    elif fused_flat:
-        jstate0 = jnp.reshape(jfull0, (m * n,))
-        need_jacobian0 = True
-    elif not materialize:
-        jstate0 = x
-        need_jacobian0 = True
-    elif drop_jstate:
-        jstate0 = x
-        need_jacobian0 = True
-    elif problem.jacobian_is_sparse:
-        # Sparse carry: the BCOO pattern is static, only data flows. Seed
-        # the carry with a real evaluation (a zeros placeholder has no
-        # pattern) — and since that seed IS the Jacobian at x0, the first
-        # iteration reuses it instead of recomputing (need_jacobian=False).
-        jstate0 = jac_fn(x)
-        need_jacobian0 = False
-    else:
-        jstate0 = jnp.zeros((m, n), dt)
-        need_jacobian0 = True
 
     # Column norms ride the carry so rejected steps reuse them: the
     # linearization point is unchanged there, and in matrix-free mode a

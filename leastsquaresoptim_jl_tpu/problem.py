@@ -125,6 +125,12 @@ class LeastSquaresProblem:
     # transcendental-bound workloads (the TPU-efficient form of the
     # reference's user-g! analytic-Jacobian path, src/types.jl:54-66).
     res_jac_fn: Optional[Callable] = None
+    # True when res_jac_fn evaluates the model ONCE for both r and J (the
+    # jax.linearize form built for autodiff='forward'); False when it is
+    # two independent evaluations (user g, reverse/central mode). The
+    # batched drop-fcur optimization keys on this: recomputing the
+    # residual with the Jacobian is only free when the primal is shared.
+    res_jac_shares_primal: bool = False
 
     @property
     def n(self) -> int:
@@ -238,6 +244,9 @@ def least_squares_problem(
         jacobian_is_sparse=jacobian_is_sparse,
         unravel=unravel,
         res_jac_fn=None if jacobian_is_sparse else res_jac_fn,
+        res_jac_shares_primal=(
+            not jacobian_is_sparse and g is None and autodiff == "forward"
+        ),
     )
 
 

@@ -267,6 +267,26 @@ def test_optimize_compile_reuse_same_spec():
     assert r3.converged
 
 
+def test_optimize_cache_sees_rebound_closure_data():
+    """Rebinding an array the residual closes over must NOT keep serving
+    the stale cached problem: the compiled executable baked the old array
+    in as a trace constant, so identity-keying on ``f`` alone would
+    silently return a fit to the OLD data. The cache key fingerprints the
+    arrays reachable from f's closure/globals (api._captured_arrays)."""
+    ydata = jnp.array([2.0, 4.0, 6.0, 8.0])
+    xdata = jnp.array([1.0, 2.0, 3.0, 4.0])
+
+    def f(b):
+        return ydata - b[0] * xdata
+
+    r1 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r1.minimizer, [2.0], atol=1e-8)
+    # rebind the captured data: same f object, new closure-cell contents
+    ydata = jnp.array([3.0, 6.0, 9.0, 12.0])
+    r2 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r2.minimizer, [3.0], atol=1e-8)
+
+
 def test_restart_on_suspect_stop_mechanics():
     """optimize_problem(restarts=k): a stop not certified by the KKT test
     triggers a probe re-solve from the minimizer (same compiled executable);
