@@ -1,0 +1,83 @@
+"""ops/special.py: gridded exponential sequences (2 exps + power tables).
+
+Correctness gates for the value (vs a direct jnp.exp reference, f32 and
+f64), the exact custom JVP / reverse gradient (vs the analytic x*e), and
+the end-to-end use inside a batched curve fit (matches the naive-exp
+residual's minimizers)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.ops.special import make_exp_grid
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 5, 8, 17, 64, 100])
+@pytest.mark.parametrize("s", [-0.05, 0.3, -2.0])
+def test_exp_grid_matches_direct(m, s):
+    t0, dt = 1.0, 79.0 / 63.0
+    e = make_exp_grid(t0, dt, m)
+    x = t0 + dt * np.arange(m)
+    got = np.asarray(e(jnp.float64(s)))
+    ref = np.exp(s * x)
+    assert np.allclose(got, ref, rtol=5e-14), np.max(np.abs(got / ref - 1))
+
+
+def test_exp_grid_f32_ulp_budget():
+    """At m=64 the power-table rounding stays within ~a few 1e-7 relative
+    — below the f32 solve tolerances the batched path runs at."""
+    e = make_exp_grid(1.0, 79.0 / 63.0, 64)
+    x = 1.0 + (79.0 / 63.0) * np.arange(64)
+    for s in (-0.06, -0.24, 0.1):
+        got = np.asarray(e(jnp.float32(s)), np.float64)
+        ref = np.exp(float(np.float32(s)) * x)
+        rel = np.max(np.abs(got / ref - 1.0))
+        assert rel < 2e-6, (s, rel)
+
+
+def test_exp_grid_gradients_exact_rule():
+    m, t0, dt = 40, 0.5, 0.25
+    e = make_exp_grid(t0, dt, m)
+    x = t0 + dt * jnp.arange(m, dtype=jnp.float64)
+    s = jnp.float64(-0.7)
+    # forward
+    prim, tang = jax.jvp(e, (s,), (jnp.float64(1.0),))
+    assert np.allclose(np.asarray(tang), np.asarray(x * prim), rtol=1e-13)
+    # reverse (the JVP is linear in the tangent: transposes automatically)
+    g = jax.grad(lambda ss: jnp.sum(e(ss) * jnp.arange(1.0, m + 1.0)))(s)
+    expect = jnp.sum(x * prim * jnp.arange(1.0, m + 1.0))
+    assert np.allclose(np.asarray(g), np.asarray(expect), rtol=1e-13)
+
+
+def test_exp_grid_batched_fit_matches_naive():
+    """solve_batch with the gridded-exp residual converges to the same
+    minimizers as the naive jnp.exp residual (the bench.py model)."""
+    B, m = 64, 64
+    rng = np.random.default_rng(3)
+    xdata = np.linspace(1.0, 80.0, m)
+    t0, dt = float(xdata[0]), float(xdata[1] - xdata[0])
+    betas = np.stack([rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], 1)
+    Y = betas[:, :1] * (1.0 - np.exp(-betas[:, 1:2] * xdata[None, :]))
+    x0 = betas * rng.uniform(0.8, 1.2, (B, 2))
+
+    e = make_exp_grid(t0, dt, m)
+
+    def f_grid(b, yd):
+        return yd - b[0] * (1.0 - e(-b[1]))
+
+    xg = jnp.asarray(xdata)
+
+    def f_naive(b, yd):
+        return yd - b[0] * (1.0 - jnp.exp(-b[1] * xg))
+
+    kw = dict(output_length=m, options=lso.Options(iterations=60))
+    rg = lso.solve_batch(f_grid, jnp.asarray(x0), jnp.asarray(Y), **kw)
+    rn = lso.solve_batch(f_naive, jnp.asarray(x0), jnp.asarray(Y), **kw)
+    assert bool(jnp.all(rg["converged"]))
+    assert np.allclose(np.asarray(rg["minimizer"]), betas, rtol=1e-8)
+    assert np.allclose(
+        np.asarray(rg["minimizer"]), np.asarray(rn["minimizer"]), rtol=1e-8
+    )
