@@ -219,11 +219,12 @@ def main():
         return min(ts)
 
     if "--ablation" in sys.argv:
-        def bench_fused(fused):
+        def bench_batch(resid_fn, fused):
             def run_b(x0, d):
                 def one(c):
                     raw = lso.solve_batch(
-                        f, x0 * c, d, lso.LevenbergMarquardt(lso.Cholesky()),
+                        resid_fn, x0 * c, d,
+                        lso.LevenbergMarquardt(lso.Cholesky()),
                         output_length=m, options=opts, data_axis=(None, 0),
                         min_converged_fraction=conv_frac, fused=fused,
                     )
@@ -241,12 +242,33 @@ def main():
             t, nc = min(ts)
             return nc / t
 
-        fps_fused = bench_fused(True)
-        fps_unfused = bench_fused(False)
+        fps_fused = bench_batch(f, True)
+        fps_unfused = bench_batch(f, False)
         print(
             f"ablation (fused residual+jacobian): fused {fps_fused:,.0f} "
             f"fits/s vs unfused {fps_unfused:,.0f} -> "
             f"{fps_fused / fps_unfused:.2f}x",
+            file=sys.stderr,
+        )
+
+        # Gridded-exp model evaluation (ops/special.py): the sample grid
+        # is uniform, so exp(-b2*x_i) is a geometric sequence — 3 exps +
+        # power tables instead of m exps per evaluation. Same curve, same
+        # math; exploits model structure the way the reference's analytic
+        # g! path does (/root/reference/src/types.jl:54-66).
+        from leastsquaresoptim_jl_tpu.ops.special import make_exp_grid
+
+        eg = make_exp_grid(float(xdata[0]), float(xdata[1] - xdata[0]), m)
+
+        def f_grid(beta, d):
+            _, yd = d
+            return yd - beta[0] * (1.0 - eg(-beta[1]))
+
+        fps_grid = bench_batch(f_grid, False)
+        print(
+            f"ablation (gridded-exp eval): gridded {fps_grid:,.0f} "
+            f"fits/s vs naive {fps_unfused:,.0f} -> "
+            f"{fps_grid / fps_unfused:.2f}x",
             file=sys.stderr,
         )
         t_cond = bench_variant(False)
