@@ -9,7 +9,7 @@ The reference ships these only inside its test suite
 the framework so users and benchmarks can import them directly.
 """
 
-from .curves import CURVES, curve_fit, curve_fit_batch
+from .curves import CURVES, curve_fit, curve_fit_batch, gridded_model
 from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
@@ -18,6 +18,7 @@ __all__ = [
     "curve_fit",
     "curve_fit_batch",
     "CURVES",
+    "gridded_model",
     "full_suite",
     "cholesky_suite",
     "NIST_DATASETS",

@@ -42,6 +42,36 @@ CURVES = {
 }
 
 
+# Gridded variants: for models whose transcendental argument is linear in
+# x, a *uniform* sample grid turns the per-sample exp into a geometric
+# sequence (ops/special.make_exp_grid: 3 exps + power tables instead of m
+# exps). Each factory takes the grid (t0, dt, m) and returns a model(x, b)
+# whose x argument is ignored (the grid is baked in). Few-ulp·log2(m)
+# rounding vs the naive form — below the f32 solve tolerances.
+_GRIDDED_FACTORIES = {
+    "exp_saturation": lambda e: lambda x, b: b[0] * (1.0 - e(-b[1])),
+    "exp_decay": lambda e: lambda x, b: b[0] * e(-b[1]) + b[2],
+    "logistic": lambda e: lambda x, b: b[0] / (1.0 + jnp.exp(b[1]) * e(-b[2])),
+}
+
+
+def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
+    """Gridded-exp evaluator for a named CURVES model on the uniform grid
+    ``x_i = t0 + i*dt`` (i < m). Supported: exp_saturation, exp_decay,
+    logistic. The returned callable has the usual ``model(x, beta)``
+    signature but ignores ``x`` (the grid is static)."""
+    try:
+        factory = _GRIDDED_FACTORIES[name]
+    except KeyError:
+        raise ValueError(
+            f"no gridded variant for {name!r}; supported: "
+            f"{sorted(_GRIDDED_FACTORIES)}"
+        ) from None
+    from ..ops.special import make_exp_grid
+
+    return factory(make_exp_grid(t0, dt, m))
+
+
 def _as_model(model) -> Callable:
     if callable(model):
         return model
@@ -108,6 +138,7 @@ def curve_fit_batch(
     min_converged_fraction: Optional[float] = None,
     loss="linear",
     f_scale: float = 1.0,
+    gridded: bool = False,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
@@ -117,12 +148,32 @@ def curve_fit_batch(
     host API if Optim-style reports are wanted. ``min_converged_fraction``
     enables the fraction-stop loop (see solve_batch) — the production bulk
     fitting mode where stragglers don't set the batch wall-clock.
+
+    ``gridded=True`` (opt-in) evaluates a *named* exponential-family model
+    via :func:`gridded_model` — valid only when ``xdata`` is a shared 1-d
+    uniform grid (raises ValueError otherwise). Cuts the m per-sample
+    exps to 3 exps + power tables per evaluation.
     """
+    gridded_name = model if gridded else None
     model = _as_model(model)
     p0 = jnp.asarray(p0)
     xdata = jnp.asarray(xdata)
     ydata = jnp.asarray(ydata)
     m = ydata.shape[-1]
+    if gridded_name is not None:
+        if not isinstance(gridded_name, str):
+            raise ValueError("gridded=True needs a named CURVES model")
+        if xdata.ndim != 1:
+            raise ValueError("gridded=True needs a shared 1-d xdata grid")
+        import numpy as _np
+
+        x_np = _np.asarray(xdata, _np.float64)
+        if m < 2 or x_np.shape[0] != m:
+            raise ValueError("gridded=True needs xdata of length m >= 2")
+        dt = float(x_np[1] - x_np[0])
+        if not _np.allclose(_np.diff(x_np), dt, rtol=1e-12, atol=1e-12 * abs(dt)):
+            raise ValueError("gridded=True needs a uniformly spaced xdata")
+        model = gridded_model(gridded_name, float(x_np[0]), dt, m)
     # A 1-d xdata (or weights) is *shared* across the batch: passed once
     # with a None vmap axis instead of materializing a broadcast (B, m)
     # copy that every model evaluation would re-read from HBM.

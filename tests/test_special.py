@@ -52,6 +52,56 @@ def test_exp_grid_gradients_exact_rule():
     assert np.allclose(np.asarray(g), np.asarray(expect), rtol=1e-13)
 
 
+@pytest.mark.parametrize("name", ["exp_saturation", "exp_decay", "logistic"])
+def test_curve_fit_batch_gridded_matches_naive(name):
+    from leastsquaresoptim_jl_tpu.models import curve_fit_batch
+
+    B, m = 24, 50
+    rng = np.random.default_rng(11)
+    xd = np.linspace(0.5, 12.0, m)
+    if name == "exp_saturation":
+        betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
+    elif name == "exp_decay":
+        betas = np.stack(
+            [rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B), rng.uniform(0.5, 2, B)], 1
+        )
+    else:  # logistic
+        betas = np.stack(
+            [rng.uniform(2, 5, B), rng.uniform(1, 3, B), rng.uniform(0.5, 1.2, B)], 1
+        )
+    model = lso.models.CURVES[name]
+    Y = np.asarray(jax.vmap(lambda b: model(jnp.asarray(xd), b))(jnp.asarray(betas)))
+    p0 = betas * rng.uniform(0.9, 1.1, betas.shape)
+    kw = dict(options=lso.Options(iterations=80))
+    rg = curve_fit_batch(name, xd, Y, p0, gridded=True, **kw)
+    rn = curve_fit_batch(name, xd, Y, p0, **kw)
+    assert bool(jnp.all(rg["converged"]))
+    assert np.allclose(np.asarray(rg["minimizer"]), betas, rtol=1e-7)
+    assert np.allclose(
+        np.asarray(rg["minimizer"]), np.asarray(rn["minimizer"]), rtol=1e-7
+    )
+
+
+def test_curve_fit_batch_gridded_contract_errors():
+    from leastsquaresoptim_jl_tpu.models import curve_fit_batch, gridded_model
+
+    B, m = 4, 16
+    xd_nonuniform = np.geomspace(1.0, 10.0, m)
+    xd = np.linspace(1.0, 10.0, m)
+    Y = np.ones((B, m))
+    p0 = np.ones((B, 2))
+    with pytest.raises(ValueError, match="uniform"):
+        curve_fit_batch("exp_saturation", xd_nonuniform, Y, p0, gridded=True)
+    with pytest.raises(ValueError, match="named"):
+        curve_fit_batch(lambda x, b: b[0] * x, xd, Y, p0, gridded=True)
+    with pytest.raises(ValueError, match="1-d"):
+        curve_fit_batch(
+            "exp_saturation", np.tile(xd, (B, 1)), Y, p0, gridded=True
+        )
+    with pytest.raises(ValueError, match="gridded variant"):
+        gridded_model("gaussian", 0.0, 1.0, m)
+
+
 def test_exp_grid_batched_fit_matches_naive():
     """solve_batch with the gridded-exp residual converges to the same
     minimizers as the naive jnp.exp residual (the bench.py model)."""
