@@ -17,7 +17,6 @@ Counterpart of the reference's Optim-like API layer
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -80,26 +79,29 @@ def solve(
     )
 
 
-# Problem reuse across ``optimize`` calls. ``_compiled_solve`` is keyed on
-# problem *identity* (LeastSquaresProblem is eq=False), so a host verb that
+# Problem reuse across ``optimize`` calls. Compiled executables live on
+# the problem object itself (``_compiled_solve``), and problems are
+# identity-keyed (LeastSquaresProblem is eq=False), so a host verb that
 # rebuilt the problem every call would never hit its own jit cache — the
 # reference avoids this by letting callers keep a
 # LeastSquaresProblemAllocated (src/types.jl:141-160). Here ``optimize``
-# recovers that reuse transparently: problems are cached on the call's
-# *structure* — the user callables by identity plus the x0 pytree
-# structure/shapes/dtypes — so a second call with the same spec reuses the
-# problem object and therefore the compiled executable.
+# recovers that reuse transparently: problems are cached (LRU) on the
+# call's *structure* — the user callables by identity, the contents of
+# the arrays they capture, plus the x0 pytree structure/shapes/dtypes —
+# so a second call with the same spec reuses the problem object and
+# therefore its compiled executables.
 _PROBLEM_CACHE: "dict" = {}
 _PROBLEM_CACHE_MAX = 128
 
 
-def _captured_arrays(f, depth=2, seen=None):
+def _captured_arrays(f, depth=3, seen=None, budget=None):
     """Array objects reachable from ``f``'s closure cells, referenced
-    globals, and functools.partial payloads (shallow containers; callables
-    recursed depth-limited). Used to fingerprint the data a residual
-    function closes over: identity-keying on ``f`` alone would keep
-    serving a cached problem (and its compiled executable, which baked the
-    old data in as trace constants) after the user rebinds the captured
+    globals, functools.partial payloads, bound-method ``__self__``
+    attributes, and nested tuple/list/dict containers (depth- and
+    budget-limited). Used to fingerprint the data a residual function
+    closes over: identity-keying on ``f`` alone would keep serving a
+    cached problem (and its compiled executable, which baked the old data
+    in as trace constants) after the user rebinds or mutates the captured
     array — a silent wrong-result mode, since the function object is
     unchanged."""
     import functools as _ft
@@ -108,43 +110,70 @@ def _captured_arrays(f, depth=2, seen=None):
 
     out = []
     seen = set() if seen is None else seen
-    if depth < 0 or id(f) in seen:
+    budget = [256] if budget is None else budget
+    if depth < 0 or id(f) in seen or budget[0] <= 0:
         return out
     seen.add(id(f))
 
-    def collect(o):
+    def collect(o, d=1):
+        if budget[0] <= 0 or id(o) in seen:
+            return
+        budget[0] -= 1
         if isinstance(o, (np.ndarray, jax.Array)):
             out.append(o)
         elif isinstance(o, (tuple, list)):
+            seen.add(id(o))
             for x in o:
-                if isinstance(x, (np.ndarray, jax.Array)):
-                    out.append(x)
+                collect(x, d - 1) if d > 0 else None
         elif isinstance(o, dict):
+            seen.add(id(o))
             for x in o.values():
-                if isinstance(x, (np.ndarray, jax.Array)):
-                    out.append(x)
+                collect(x, d - 1) if d > 0 else None
         elif callable(o) and not isinstance(o, type):
-            out.extend(_captured_arrays(o, depth - 1, seen))
+            out.extend(_captured_arrays(o, depth - 1, seen, budget))
 
     if isinstance(f, _ft.partial):
-        collect(f.func)
+        collect(f.func, 2)
         for o in f.args:
-            collect(o)
+            collect(o, 2)
         for o in f.keywords.values():
-            collect(o)
+            collect(o, 2)
         return out
+    # Bound method: the receiver's attributes are part of the closure in
+    # every practical sense (f = obj.resid; obj.y = data).
+    self_obj = getattr(f, "__self__", None)
+    if self_obj is not None and hasattr(self_obj, "__dict__"):
+        for v in vars(self_obj).values():
+            collect(v, 2)
     code = getattr(f, "__code__", None)
     for cell in getattr(f, "__closure__", None) or ():
         try:
-            collect(cell.cell_contents)
+            collect(cell.cell_contents, 2)
         except ValueError:  # empty cell
             continue
     gvars = getattr(f, "__globals__", None)
     if code is not None and gvars is not None:
         for name in code.co_names:
             if name in gvars:
-                collect(gvars[name])
+                collect(gvars[name], 2)
     return out
+
+
+def _array_fingerprint(a):
+    """Cache fingerprint of one captured array.
+
+    numpy arrays are mutable in place, so identity is not enough — hash
+    the contents (adler32; ~GB/s, negligible next to the recompile a miss
+    triggers, and the arrays a residual closes over are data-sized, not
+    model-sized). jax.Arrays are immutable: identity + shape/dtype
+    suffices and avoids pulling device buffers to the host."""
+    import zlib
+
+    import numpy as np
+
+    if isinstance(a, np.ndarray):
+        return ("np", a.shape, a.dtype.str, zlib.adler32(np.ascontiguousarray(a).view(np.uint8).reshape(-1)))
+    return ("jx", getattr(a, "shape", None), str(getattr(a, "dtype", None)), id(a))
 
 
 def _problem_cache_key(f, g, output_length, autodiff, materialize_jacobian,
@@ -153,8 +182,8 @@ def _problem_cache_key(f, g, output_length, autodiff, materialize_jacobian,
 
     leaves, treedef = jax.tree_util.tree_flatten(x0)
     # The fingerprint arrays are returned alongside the key: the cache
-    # entry must hold strong references to them so a dropped array's id
-    # cannot be recycled by a new allocation and collide back onto a
+    # entry must hold strong references to them so a dropped jax.Array's
+    # id cannot be recycled by a new allocation and collide back onto a
     # stale entry.
     captured = _captured_arrays(f) + ([] if g is None else _captured_arrays(g))
     try:
@@ -163,15 +192,27 @@ def _problem_cache_key(f, g, output_length, autodiff, materialize_jacobian,
         )
         key = (f, g, output_length, autodiff, materialize_jacobian,
                loss, f_scale, treedef, spec,
-               tuple(id(a) for a in captured))
+               tuple(_array_fingerprint(a) for a in captured))
         hash(key)
     except TypeError:
         return None, captured  # unhashable callable/structure: skip caching
     return key, captured
 
 
-@functools.lru_cache(maxsize=512)
 def _compiled_solve(problem, optimizer, options, has_lower, has_upper):
+    """Per-problem jit cache, stored ON the problem object so a compiled
+    executable (which bakes closure data in as constants) lives exactly as
+    long as the problem that produced it — a global lru_cache would pin
+    evicted problems and their datasets until its own slots cycled."""
+    cache = problem.__dict__.get("_jit_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(problem, "_jit_cache", cache)
+    key = (optimizer, options, has_lower, has_upper)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
     def run(x0, lower, upper):
         return solve(
             problem,
@@ -182,7 +223,11 @@ def _compiled_solve(problem, optimizer, options, has_lower, has_upper):
             x0=x0,
         )
 
-    return jax.jit(run)
+    fn = jax.jit(run)
+    if len(cache) >= 32:  # bound per-problem variants (optimizer/options)
+        cache.pop(next(iter(cache)))
+    cache[key] = fn
+    return fn
 
 
 def _check_initial_bounds(x0, lower, upper):
@@ -296,12 +341,15 @@ def optimize_problem(
             probe = run(jnp.asarray(raw["minimizer"]))
             for k in counters:
                 totals[k] += int(np.asarray(probe[k]))
-            improved = float(np.asarray(probe["ssr"])) < float(
-                np.asarray(raw["ssr"])
-            ) * (1.0 - 10.0 * opts.f_tol)
-            if not (improved and int(np.asarray(probe["status"])) == 0):
-                break  # genuine optimum: probe re-stopped with no progress
-            raw = probe
+            probe_ssr = float(np.asarray(probe["ssr"]))
+            raw_ssr = float(np.asarray(raw["ssr"]))
+            probe_ok = int(np.asarray(probe["status"])) == 0
+            # Adopt any weakly-better probe (monotone descent means the
+            # probe is never worse; its work is charged either way).
+            if probe_ok and probe_ssr <= raw_ssr:
+                raw = probe
+            if not (probe_ok and probe_ssr < raw_ssr * (1.0 - 10.0 * opts.f_tol)):
+                break  # genuine optimum: probe re-stopped with no real progress
         for k in counters:
             raw[k] = totals[k]
     raw["optimizer"] = "LevenbergMarquardt" if isinstance(
@@ -355,6 +403,8 @@ def optimize(
         loss, f_scale, x0,
     )
     entry = _PROBLEM_CACHE.get(key) if key is not None else None
+    if entry is not None:  # LRU: refresh recency so hot entries survive
+        _PROBLEM_CACHE[key] = _PROBLEM_CACHE.pop(key)
     problem = entry[0] if entry is not None else None
     if problem is None:
         base_f = f

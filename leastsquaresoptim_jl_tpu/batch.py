@@ -192,7 +192,10 @@ def _solve_batch_fraction(
     # 7.000000000000001 in binary, and a bare ceil would demand an 8th
     # converged fit — one extra straggler that can hold the whole batch to
     # the iteration cap.
-    need = jnp.int32(min(B, max(1, int(math.ceil(frac * B - 1e-9)))))
+    # frac <= 0 keeps its degenerate meaning: nothing required, the loop
+    # body never runs (need=0 makes cond() false immediately).
+    need_count = int(math.ceil(frac * B - 1e-9))
+    need = jnp.int32(min(B, max(1, need_count)) if frac > 0 else 0)
 
     def cond(state):
         _, active = state

@@ -45,14 +45,9 @@ CURVES = {
 # Gridded variants: for models whose transcendental argument is linear in
 # x, a *uniform* sample grid turns the per-sample exp into a geometric
 # sequence (ops/special.make_exp_grid: 3 exps + power tables instead of m
-# exps). Each factory takes the grid (t0, dt, m) and returns a model(x, b)
-# whose x argument is ignored (the grid is baked in). Few-ulp·log2(m)
-# rounding vs the naive form — below the f32 solve tolerances.
-_GRIDDED_FACTORIES = {
-    "exp_saturation": lambda e: lambda x, b: b[0] * (1.0 - e(-b[1])),
-    "exp_decay": lambda e: lambda x, b: b[0] * e(-b[1]) + b[2],
-    "logistic": lambda e: lambda x, b: b[0] / (1.0 + jnp.exp(b[1]) * e(-b[2])),
-}
+# exps). Few-ulp·log2(m) rounding vs the naive form — below the f32
+# solve tolerances.
+_GRIDDED_NAMES = ("exp_saturation", "exp_decay", "logistic")
 
 
 def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
@@ -60,16 +55,40 @@ def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
     ``x_i = t0 + i*dt`` (i < m). Supported: exp_saturation, exp_decay,
     logistic. The returned callable has the usual ``model(x, beta)``
     signature but ignores ``x`` (the grid is static)."""
-    try:
-        factory = _GRIDDED_FACTORIES[name]
-    except KeyError:
+    if name not in _GRIDDED_NAMES:
         raise ValueError(
             f"no gridded variant for {name!r}; supported: "
-            f"{sorted(_GRIDDED_FACTORIES)}"
-        ) from None
+            f"{sorted(_GRIDDED_NAMES)}"
+        )
+    import numpy as np
+
     from ..ops.special import make_exp_grid
 
-    return factory(make_exp_grid(t0, dt, m))
+    if name == "exp_saturation":
+        e = make_exp_grid(t0, dt, m)
+        return lambda x, b: b[0] * (1.0 - e(-b[1]))
+    if name == "exp_decay":
+        e = make_exp_grid(t0, dt, m)
+        return lambda x, b: b[0] * e(-b[1]) + b[2]
+    # logistic: b0 / (1 + exp(b1 - b2 x)). Factorizing as
+    # exp(b1) * e(-b2) overflows where the naive form is finite (inf * 0
+    # underflow -> NaN). Center the grid so the scalar prefactor carries
+    # the exponent at the grid MIDPOINT — finite whenever the sigmoid
+    # transition is anywhere near the data — and repair the residual
+    # inf*0 corners (wild trial points) with the exact exponent sign.
+    x_np = t0 + dt * np.arange(m, dtype=np.float64)
+    x_c = float(x_np[(m - 1) // 2])
+    e_c = make_exp_grid(t0 - x_c, dt, m)
+
+    def logistic(x, b):
+        t = jnp.exp(b[1] - b[2] * x_c) * e_c(-b[2])
+        z = b[1] - b[2] * jnp.asarray(x_np, t.dtype)
+        t = jnp.where(
+            jnp.isnan(t), jnp.where(z >= 0, jnp.inf, 0.0).astype(t.dtype), t
+        )
+        return b[0] / (1.0 + t)
+
+    return logistic
 
 
 def _as_model(model) -> Callable:
@@ -170,8 +189,20 @@ def curve_fit_batch(
         x_np = _np.asarray(xdata, _np.float64)
         if m < 2 or x_np.shape[0] != m:
             raise ValueError("gridded=True needs xdata of length m >= 2")
-        dt = float(x_np[1] - x_np[0])
-        if not _np.allclose(_np.diff(x_np), dt, rtol=1e-12, atol=1e-12 * abs(dt)):
+        # Best uniform spacing from the endpoints (the first gap alone
+        # carries the storage dtype's quantization). The tolerance scales
+        # with the dtype the grid is stored in: an exactly-uniform grid
+        # quantized to f32 shows per-gap deviations ~ eps32 * max|x|.
+        dt = float(x_np[-1] - x_np[0]) / (m - 1)
+        eps = (
+            _np.finfo(xdata.dtype).eps
+            if _np.issubdtype(xdata.dtype, _np.floating)
+            else _np.finfo(_np.float64).eps
+        )
+        slack = 8.0 * eps * max(float(_np.max(_np.abs(x_np))), abs(dt))
+        if dt == 0 or not _np.allclose(
+            _np.diff(x_np), dt, rtol=0.0, atol=slack
+        ):
             raise ValueError("gridded=True needs a uniformly spaced xdata")
         model = gridded_model(gridded_name, float(x_np[0]), dt, m)
     # A 1-d xdata (or weights) is *shared* across the batch: passed once

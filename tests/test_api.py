@@ -252,10 +252,15 @@ def test_optimize_compile_reuse_same_spec():
     def f(x):
         return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
 
+    api._PROBLEM_CACHE.clear()
     r1 = lso.optimize(f, jnp.zeros(2))
-    misses = api._compiled_solve.cache_info().misses
+    assert len(api._PROBLEM_CACHE) == 1
+    ((prob1, _),) = api._PROBLEM_CACHE.values()
+    jits = dict(prob1._jit_cache)  # executables compiled so far
     r2 = lso.optimize(f, jnp.array([0.3, -0.2]))
-    assert api._compiled_solve.cache_info().misses == misses
+    ((prob2, _),) = api._PROBLEM_CACHE.values()
+    # same problem object, same jitted executables — zero recompilation
+    assert prob2 is prob1 and dict(prob1._jit_cache) == jits
     assert r1.converged and r2.converged
     assert np.allclose(r2.minimizer, [1.0, 1.0], atol=1e-5)
     # a different structure (shape) is a different problem: miss, no clash
@@ -263,7 +268,7 @@ def test_optimize_compile_reuse_same_spec():
         return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2), x[2]])
 
     r3 = lso.optimize(f3, jnp.zeros(3))
-    assert api._compiled_solve.cache_info().misses == misses + 1
+    assert len(api._PROBLEM_CACHE) == 2
     assert r3.converged
 
 
@@ -284,6 +289,45 @@ def test_optimize_cache_sees_rebound_closure_data():
     # rebind the captured data: same f object, new closure-cell contents
     ydata = jnp.array([3.0, 6.0, 9.0, 12.0])
     r2 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r2.minimizer, [3.0], atol=1e-8)
+
+
+def test_optimize_cache_sees_inplace_numpy_mutation():
+    """In-place mutation of a captured *numpy* array (same object id, new
+    contents) must invalidate the cache: numpy arrays are fingerprinted by
+    content, not identity (jax.Arrays are immutable so identity suffices)."""
+    ydata = np.array([2.0, 4.0, 6.0, 8.0])
+    xdata = np.array([1.0, 2.0, 3.0, 4.0])
+
+    def f(b):
+        return jnp.asarray(ydata) - b[0] * jnp.asarray(xdata)
+
+    r1 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r1.minimizer, [2.0], atol=1e-8)
+    ydata[:] = [3.0, 6.0, 9.0, 12.0]  # same object, new data
+    r2 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r2.minimizer, [3.0], atol=1e-8)
+
+
+def test_optimize_cache_sees_bound_method_state():
+    """A residual passed as a bound method: rebinding an attribute of its
+    receiver must invalidate the cache (the receiver's attributes are the
+    closure in every practical sense)."""
+
+    class Fitter:
+        def __init__(self, y):
+            self.y = jnp.asarray(y)
+            self.x = jnp.array([1.0, 2.0, 3.0, 4.0])
+
+        def resid(self, b):
+            return self.y - b[0] * self.x
+
+    obj = Fitter([2.0, 4.0, 6.0, 8.0])
+    fm = obj.resid
+    r1 = lso.optimize(fm, jnp.zeros(1))
+    assert np.allclose(r1.minimizer, [2.0], atol=1e-8)
+    obj.y = jnp.array([3.0, 6.0, 9.0, 12.0])
+    r2 = lso.optimize(fm, jnp.zeros(1))
     assert np.allclose(r2.minimizer, [3.0], atol=1e-8)
 
 

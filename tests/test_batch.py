@@ -95,6 +95,12 @@ def test_batch_fraction_stop():
         np.asarray(frac["iterations"])[both],
         np.asarray(full["iterations"])[both],
     )
+    # fraction 0.0 keeps its degenerate meaning: nothing required, the
+    # loop body never runs (zero iterations everywhere)
+    frac0 = lso.solve_batch(
+        f, x0s, data, opt, output_length=m, min_converged_fraction=0.0
+    )
+    assert int(np.asarray(frac0["iterations"]).max()) == 0
     # fraction 1.0 reproduces the full batch exactly
     frac1 = lso.solve_batch(
         f, x0s, data, opt, output_length=m, min_converged_fraction=1.0

@@ -102,6 +102,65 @@ def test_curve_fit_batch_gridded_contract_errors():
         gridded_model("gaussian", 0.0, 1.0, m)
 
 
+def test_curve_fit_batch_gridded_accepts_f32_grid():
+    """A uniform grid *stored in f32* (the headline-workload case) has
+    per-gap quantization ~eps32*|x| — the uniformity check must scale its
+    tolerance with the storage dtype, not reject every f32 grid."""
+    from leastsquaresoptim_jl_tpu.models import curve_fit_batch
+
+    B, m = 8, 64
+    rng = np.random.default_rng(2)
+    xd32 = jnp.asarray(np.linspace(1.0, 80.0, m), jnp.float32)
+    betas = np.stack([rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], 1)
+    Y = betas[:, :1] * (1.0 - np.exp(-betas[:, 1:2] * np.asarray(xd32)[None, :]))
+    raw = curve_fit_batch(
+        "exp_saturation", xd32, jnp.asarray(Y, jnp.float32),
+        jnp.asarray(betas * 1.05, jnp.float32), gridded=True,
+    )
+    assert bool(jnp.all(raw["converged"]))
+    rel = np.max(np.abs(np.asarray(raw["minimizer"]) / betas - 1.0))
+    assert rel < 1e-4, rel
+
+
+def test_gridded_logistic_no_overflow_nan():
+    """exp(b1)*e(-b2) overflows f32 where the naive exp(b1 - b2 x) form is
+    finite; the centered + sign-repaired gridded logistic must match the
+    naive model (finite, no NaN) at large-b1 parameterizations."""
+    from leastsquaresoptim_jl_tpu.models import gridded_model
+    from leastsquaresoptim_jl_tpu.models.curves import CURVES
+
+    m = 64
+    x = np.arange(1.0, m + 1.0)
+    gl = gridded_model("logistic", 1.0, 1.0, m)
+    naive = CURVES["logistic"]
+    for b in ([1.0, 90.0, 3.0], [2.0, -80.0, -2.5], [1.0, 300.0, 10.0]):
+        bj = jnp.asarray(b, jnp.float32)
+        got = np.asarray(gl(None, bj), np.float64)
+        ref = np.asarray(naive(jnp.asarray(x, jnp.float32), bj), np.float64)
+        assert np.all(np.isfinite(got)), (b, got)
+        assert np.allclose(got, ref, rtol=2e-4, atol=1e-7), (
+            b, np.max(np.abs(got - ref))
+        )
+
+
+def test_exp_grid_sign_crossing_extreme_s_no_nan():
+    """On a grid spanning x=0 an extreme |s| pairs an inf table factor
+    with an underflowed one; the sign-repair must yield the same
+    saturation (inf/0) the naive exp gives, never NaN."""
+    m = 33
+    t0, dt = -16.0, 1.0
+    e = make_exp_grid(t0, dt, m)
+    x = t0 + dt * np.arange(m)
+    for s in (120.0, -120.0, 400.0):
+        got = np.asarray(e(jnp.float32(s)))
+        with np.errstate(over="ignore"):
+            ref = np.exp(np.float32(s) * x.astype(np.float32), dtype=np.float32)
+        assert not np.any(np.isnan(got)), (s, got)
+        finite = np.isfinite(ref) & (ref > 0)
+        assert np.allclose(got[finite], ref[finite], rtol=2e-4)
+        assert np.array_equal(np.isinf(got), np.isinf(ref))
+
+
 def test_exp_grid_batched_fit_matches_naive():
     """solve_batch with the gridded-exp residual converges to the same
     minimizers as the naive jnp.exp residual (the bench.py model)."""
