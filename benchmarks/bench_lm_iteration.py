@@ -107,6 +107,42 @@ def main():
     t = timeit(eval_unfused, x0j, xd, yd)
     print(f"eval_unfused : {1e3 * t / K:8.3f} ms/iter")
 
+    # --- eval_shared vs eval_gridded: matched pair isolating the exp ---
+    # Both close over the shared 1-d grid (bench.py's round-3 layout);
+    # the only difference is m naive exps vs 3 exps + power tables
+    # (ops/special.py). Their delta is the transcendental cost.
+    from leastsquaresoptim_jl_tpu.ops.special import make_exp_grid
+
+    xg = jnp.asarray(xdata, dtype)
+    eg = make_exp_grid(float(xdata[0]), float(xdata[1] - xdata[0]), m)
+
+    def resid_shared(beta, ydd):
+        return ydd - beta[0] * (1.0 - jnp.exp(-beta[1] * xg))
+
+    def resid_grid(beta, ydd):
+        return ydd - beta[0] * (1.0 - eg(-beta[1]))
+
+    def make_eval(resfn):
+        @jax.jit
+        def ev(x0_, yd_):
+            def rep(carry, _):
+                def one(beta, _):
+                    J = jax.vmap(jax.jacfwd(resfn), in_axes=(0, 0))(beta, yd_)
+                    G, b = jax.vmap(gram_and_rhs)(
+                        J, jax.vmap(resfn)(beta, yd_)
+                    )
+                    return beta + 1e-12 * b, jnp.sum(b)
+                beta, s = jax.lax.scan(one, carry, None, length=K)
+                return beta * (1.0 + 1e-7), jnp.sum(s)
+            _, ss = jax.lax.scan(rep, x0_, None, length=R)
+            return jnp.sum(ss)
+        return ev
+
+    t = timeit(make_eval(resid_shared), x0j, yd)
+    print(f"eval_shared  : {1e3 * t / K:8.3f} ms/iter")
+    t = timeit(make_eval(resid_grid), x0j, yd)
+    print(f"eval_gridded : {1e3 * t / K:8.3f} ms/iter")
+
     # --- iter_core: full LM arithmetic, no flags/freeze ---
     @jax.jit
     def iter_core(x0_, xd_, yd_):
