@@ -172,7 +172,12 @@ def _array_fingerprint(a):
     import numpy as np
 
     if isinstance(a, np.ndarray):
-        return ("np", a.shape, a.dtype.str, zlib.adler32(np.ascontiguousarray(a).view(np.uint8).reshape(-1)))
+        if a.dtype.hasobject:  # not byte-viewable: identity is the best we have
+            return ("np-obj", a.shape, id(a))
+        return (
+            "np", a.shape, a.dtype.str,
+            zlib.adler32(np.ascontiguousarray(a).view(np.uint8).reshape(-1)),
+        )
     return ("jx", getattr(a, "shape", None), str(getattr(a, "dtype", None)), id(a))
 
 
