@@ -63,6 +63,12 @@ def solve(
     (benchmarks/README.md round 3). Opt in for models whose residual is
     genuinely expensive to evaluate (the trajectory is identical either
     way; tests/test_fused.py).
+
+    ``result["jacobian"]`` (materialized modes) is J at the last
+    linearization point — the reference's semantics — except in fused
+    mode, which recomputes it at the final iterate (fresher; see the LM
+    module docstring). With ``iterations=0`` no linearization ever runs
+    and the dense unfused path returns a zeros placeholder there.
     """
     optimizer = resolve(optimizer, problem)
     options = options or Options()

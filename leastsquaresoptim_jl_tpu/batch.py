@@ -87,6 +87,23 @@ def solve_batch(
 
         optimizer = Dogleg(Cholesky())
     x0_batch = jnp.asarray(x0_batch)
+    if lower is not None or upper is not None:
+        # Host-side start feasibility (reference: 'Initial guess must be
+        # within bounds', levenberg_marquardt.jl:49-51) — an infeasible
+        # start can otherwise be silently certified g_converged at an
+        # infeasible point (the projected-gradient test treats x <= lower
+        # as an active bound). Value checks need concrete arrays; traced
+        # callers (solve_batch under an outer jit) skip them, same as the
+        # other jittable paths.
+        concrete = not any(
+            isinstance(v, jax.core.Tracer)
+            for v in (x0_batch, lower, upper)
+            if v is not None
+        )
+        if concrete:
+            from .api import _check_initial_bounds
+
+            _check_initial_bounds(x0_batch, lower, upper)
 
     def problem_for(x0, data):
         residual = f if data is None else (lambda x: f(x, data))
@@ -136,13 +153,23 @@ def _solve_batch_fraction(
             lambda l: jnp.take(l, 0, axis=data_axis), data_batch
         )
     else:
-        # Per-leaf axes: shared leaves (axis None) pass through whole.
-        # The axis tree must mirror data_batch's structure leaf-for-leaf
-        # (vmap-style prefixes are not resolved here).
-        probe_data = jax.tree_util.tree_map(
-            lambda ax, l: l if ax is None else jnp.take(l, 0, axis=ax),
-            data_axis, data_batch, is_leaf=lambda a: a is None,
+        # Per-leaf axes with vmap-style PREFIX trees resolved: each axis
+        # leaf applies to its whole data subtree, exactly as vmap's
+        # in_axes does on the plain-vmap path (shared leaves, axis None,
+        # pass through whole).
+        axes_leaves, axes_def = jax.tree_util.tree_flatten(
+            data_axis, is_leaf=lambda a: a is None
         )
+        subtrees = axes_def.flatten_up_to(data_batch)
+        taken = [
+            sub
+            if ax is None
+            else jax.tree_util.tree_map(
+                lambda l, _ax=ax: jnp.take(l, 0, axis=_ax), sub
+            )
+            for ax, sub in zip(axes_leaves, subtrees)
+        ]
+        probe_data = jax.tree_util.tree_unflatten(axes_def, taken)
     probe_problem = problem_for(probe_x0, probe_data)
     optimizer = resolve(optimizer, probe_problem)
     if isinstance(optimizer, LevenbergMarquardt):

@@ -87,13 +87,66 @@ def assess_convergence(
 
 
 def validate_bounds(x0, lower, upper):
-    """Eager (host-side) bound checks (reference: levenberg_marquardt.jl:49-51)."""
+    """Broadcast bounds to x0's shape/dtype (shape errors surface here).
+
+    This does NOT check start feasibility — that is a host-side value
+    check (``api._check_initial_bounds``, the counterpart of the
+    reference's eager 'Initial guess must be within bounds',
+    levenberg_marquardt.jl:49-51) which the jittable paths can only run
+    on concrete inputs."""
     n = x0.shape[0]
     if lower is not None:
         lower = jnp.broadcast_to(jnp.asarray(lower, x0.dtype), (n,))
     if upper is not None:
         upper = jnp.broadcast_to(jnp.asarray(upper, x0.dtype), (n,))
     return lower, upper
+
+
+def active_set_refinement(dx, x, lower, upper, dtd, dt, damp_free,
+                          solve_shifted, combine):
+    """Shared bounded-step refinement for both optimizer loops.
+
+    Improvement over the reference, whose pure step clipping stalls on
+    *coupled* problems: the clipped step keeps free components computed
+    under the assumption that the clipped ones moved the full distance.
+    Pin the binding coordinates at their clipped values, shift the
+    residual by that partial move, and re-solve the damped system for the
+    free components (binding coordinates frozen by a huge damping entry).
+    The free components then solve the correct active-set subspace
+    problem, so the projected-gradient KKT test can actually reach g_tol
+    on coupled problems.
+
+    ``damp_free`` is the damping on non-binding coordinates (LM: its
+    regular damp vector; dogleg: a scale-relative epsilon that keeps the
+    system full-rank without a column-masked singular factorization).
+    ``solve_shifted(dx_a, damp2) -> (dx2, n_mul)`` solves the shifted
+    system; ``combine(dx_a, free)`` merges pinned + free parts (dogleg
+    rescales the free part into the remaining trust radius first).
+    Returns ``(dx_refined, extra_mul_calls)`` via ``lax.cond``.
+    """
+    from ..ops.linalg import clip_step_to_bounds
+
+    dx_clipped = clip_step_to_bounds(dx, x, lower, upper)
+    binds = jnp.abs(dx_clipped - dx) > 0
+
+    def resolve():
+        dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
+        # Freeze factor: large enough that the active columns' coupling
+        # into the free solve is ~1e-10 relative, small enough that
+        # sqrt(freeze) in the stacked-QR damped form stays finite in f32
+        # (MAX_DIAGONAL * mean overflows there).
+        freeze = jnp.minimum(
+            1e10 * (jnp.mean(dtd) + 1.0),
+            jnp.asarray(jnp.finfo(dt).max, dt) / 16,
+        )
+        damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp_free)
+        dx2, n_mul = solve_shifted(dx_a, damp2)
+        free = jnp.where(binds, jnp.zeros_like(dx), dx2)
+        return combine(dx_a, free), n_mul + 1  # + the shift matvec
+
+    return jax.lax.cond(
+        jnp.any(binds), resolve, lambda: (dx_clipped, jnp.int32(0))
+    )
 
 
 def init_trace(opts: Options, dtype):

@@ -46,6 +46,7 @@ from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
 from ..solver.cholesky import solve_spd_system
 from .common import (
+    active_set_refinement,
     build_eval_schedule,
     seed_eval,
     STATUS_NOT_FINITE,
@@ -283,59 +284,40 @@ def loop_pieces(
 
         # Box clip (reference :148-157), trial point, gain ratio (:159-177).
         if lower is not None or upper is not None:
-            # Active-set refinement (mirrors LM, see
-            # levenberg_marquardt.py): pure clipping stalls on coupled
-            # bounded problems because the free components of the clipped
-            # step assume the clipped ones moved. Pin binding coordinates
-            # at their clipped values, shift the residual, and re-solve the
-            # Gauss-Newton system on the column-masked operator; rescale
-            # the free part into the trust region.
-            dx_clipped = clip_step_to_bounds(dx, x, lower, upper)
-            binds = jnp.abs(dx_clipped - dx) > 0
-
-            def resolve():
-                dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
-                # Freeze-damped solve (same scheme as LM): huge damping
-                # pins the binding coordinates, a scale-relative epsilon on
-                # the free ones keeps the system full-rank without a
-                # column-masked (singular-by-construction) factorization.
-                freeze = jnp.minimum(
-                    1e10 * (jnp.mean(dtd) + 1.0),
-                    jnp.asarray(jnp.finfo(dt).max, dt) / 16,
-                )
-                damp_mask = jnp.where(
-                    binds, jnp.asarray(freeze, dt), jnp.finfo(dt).eps * dtd
-                )
+            # Active-set refinement (shared scheme:
+            # common.active_set_refinement). Dogleg's free coordinates get
+            # a scale-relative epsilon damping — full-rank without a
+            # column-masked (singular-by-construction) factorization — and
+            # the free part is rescaled into the trust region.
+            def solve_shifted(dx_a, damp2):
                 if fused_gram:
                     # J'(f - J dx_a) = b - G dx_a (Gram space)
-                    dgn2 = solve_spd_system(
-                        G, b - _gmatvec(G, dx_a), damp_mask
+                    return (
+                        solve_spd_system(G, b - _gmatvec(G, dx_a), damp2),
+                        jnp.int32(1),
                     )
-                    it2 = jnp.int32(1)
-                else:
-                    f_shift = fcur - op.matvec(dx_a)
-                    dgn2, it2, _ = solve_damped(op, f_shift, damp_mask)
-                dx2 = jnp.where(binds, jnp.zeros_like(dx), dgn2)
+                dgn2, it2, _ = solve_damped(op, fcur - op.matvec(dx_a), damp2)
+                return dgn2, it2
+
+            def combine(dx_a, free):
                 # Scale the free part against the *remaining* radius after
-                # the pinned part: scaling by delta/wnorm(dx_a + dx2) would
+                # the pinned part: scaling by delta/wnorm(dx_a + free) would
                 # leave the combined step up to ~2*delta (the pinned dx_a is
                 # not scaled). Triangle inequality then guarantees
-                # wnorm(dx_a + scale*dx2) <= wnorm(dx_a) + remaining <= delta
+                # wnorm(dx_a + scale*free) <= wnorm(dx_a) + remaining <= delta
                 # whenever dx_a itself fits in the trust region.
                 remaining = jnp.maximum(delta - wnorm(dx_a, dtd), 0.0)
                 scale = jnp.minimum(
                     jnp.ones((), dt),
-                    remaining / jnp.maximum(wnorm(dx2, dtd), 1e-30),
+                    remaining / jnp.maximum(wnorm(free, dtd), 1e-30),
                 )
-                refined = clip_step_to_bounds(
-                    dx_a + scale * dx2, x, lower, upper
+                return clip_step_to_bounds(
+                    dx_a + scale * free, x, lower, upper
                 )
-                return refined, it2 + 1  # + the shift matvec
 
-            dx, extra_mul = jax.lax.cond(
-                jnp.any(binds),
-                resolve,
-                lambda: (dx_clipped, jnp.int32(0)),
+            dx, extra_mul = active_set_refinement(
+                dx, x, lower, upper, dtd, dt, jnp.finfo(dt).eps * dtd,
+                solve_shifted, combine,
             )
             mul_calls = mul_calls + extra_mul
         # Cancellation-free reductions (see levenberg_marquardt.py): the

@@ -30,7 +30,13 @@ residual at trial). What rides the carry depends on the solver:
     the value lives in registers/VMEM.
 
 Semantics are identical to the unfused path (same trajectory, counters
-kept to the reference accounting); tests/test_fused.py pins it.
+kept to the reference accounting); tests/test_fused.py pins it. One
+reporting difference: ``result["jacobian"]`` is recomputed at the FINAL
+iterate in fused mode (the carry holds Gram products, not J), whereas the
+unfused path — like the reference — returns J at the last linearization
+point, one accepted step behind. The fused value is the fresher of the
+two for post-fit statistics (utils/stats.covariance documents the same
+staleness and takes ``problem=`` to re-linearize at the minimizer).
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ from ..solver import solver_fns
 from ..solver.cholesky import solve_spd_system
 from .common import (
     STATUS_NOT_FINITE,
+    active_set_refinement,
     STATUS_OK,
     Options,
     assess_convergence,
@@ -246,48 +253,25 @@ def loop_pieces(
                 dx, lmiter, inner_istop = solve_damped(op, fcur, damp)
         mul_calls = c["mul_calls"] + lmiter
         if lower is not None or upper is not None:
-            # Active-set refinement (improvement over the reference, whose
-            # pure step clipping stalls on *coupled* problems: the clipped
-            # step keeps free components computed under the assumption that
-            # the clipped ones moved the full distance). Pin the binding
-            # coordinates at their clipped values, shift the residual by
-            # that partial move, and re-solve the damped system for the
-            # free components (binding coords frozen by a huge damping
-            # entry). The free components then solve the correct active-set
-            # subspace problem, so the projected-gradient KKT test can
-            # actually reach g_tol on coupled problems.
-            dx_clipped = clip_step_to_bounds(dx, x, lower, upper)
-            binds = jnp.abs(dx_clipped - dx) > 0
-
-            def resolve():
-                dx_a = jnp.where(binds, dx_clipped, jnp.zeros_like(dx))
-                # Freeze factor: large enough that the active columns'
-                # coupling into the free solve is ~1e-10 relative, small
-                # enough that sqrt(freeze) in the stacked-QR damped form
-                # stays finite in f32 (MAX_DIAGONAL * mean overflows there).
-                freeze = jnp.minimum(
-                    1e10 * (jnp.mean(dtd) + 1.0),
-                    jnp.asarray(jnp.finfo(dt).max, dt) / 16,
-                )
-                damp2 = jnp.where(binds, jnp.asarray(freeze, dt), damp)
+            # Active-set refinement (shared scheme:
+            # common.active_set_refinement). LM keeps its regular damping
+            # on the free coordinates.
+            def solve_shifted(dx_a, damp2):
                 if fused_gram:
                     # J'(f - J dx_a) = b - G dx_a: the residual shift stays
                     # in Gram space.
-                    dx2 = solve_spd_system(G, b - _gmatvec(G, dx_a), damp2)
-                    it2 = jnp.int32(1)
-                else:
-                    f_shift = fcur - op.matvec(dx_a)
-                    dx2, it2, _ = solve_damped(op, f_shift, damp2)
-                dx_full = dx_a + jnp.where(binds, jnp.zeros_like(dx), dx2)
-                return (
-                    clip_step_to_bounds(dx_full, x, lower, upper),
-                    it2 + 1,  # + the shift matvec
-                )
+                    return (
+                        solve_spd_system(G, b - _gmatvec(G, dx_a), damp2),
+                        jnp.int32(1),
+                    )
+                dx2, it2, _ = solve_damped(op, fcur - op.matvec(dx_a), damp2)
+                return dx2, it2
 
-            dx, lmiter2 = jax.lax.cond(
-                jnp.any(binds),
-                resolve,
-                lambda: (dx_clipped, jnp.zeros_like(lmiter)),
+            dx, lmiter2 = active_set_refinement(
+                dx, x, lower, upper, dtd, dt, damp, solve_shifted,
+                lambda dx_a, free: clip_step_to_bounds(
+                    dx_a + free, x, lower, upper
+                ),
             )
             mul_calls = mul_calls + lmiter2
 

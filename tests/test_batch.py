@@ -55,6 +55,51 @@ def test_batch_equals_sequential():
     assert np.mean(ssr <= 1e-8) >= 0.8
 
 
+def test_batch_infeasible_start_raises():
+    """Reference parity (levenberg_marquardt.jl:49-51): a start outside the
+    box raises eagerly instead of being silently certified g_converged at
+    an infeasible point."""
+    def f(x):
+        return jnp.concatenate([x - 3.0, jnp.atleast_1d(x[0] * x[1])])
+
+    x0 = jnp.array([[0.5, 0.5], [-2.0, 0.5]])  # second row below lower
+    import pytest
+
+    with pytest.raises(ValueError, match="within bounds"):
+        lso.solve_batch(f, x0, lower=jnp.zeros(2), upper=jnp.full(2, 5.0))
+
+
+def test_batch_fraction_prefix_data_axis():
+    """A vmap-style PREFIX data_axis tree (one axis leaf covering a whole
+    data subtree) must work identically with and without the fraction-stop
+    loop — vmap's in_axes resolves prefixes, so the probe must too."""
+    rng = np.random.default_rng(3)
+    B, m = 12, 16
+    xdata = jnp.array(np.linspace(1.0, 60.0, m))
+    betas_true = jnp.array(
+        np.stack([rng.uniform(100, 400, B), rng.uniform(2e-4, 2e-3, B)], 1)
+    )
+    ydata = jax.vmap(lambda b: _curve_model(xdata, b))(betas_true)
+    x0s = betas_true * jnp.array(rng.uniform(0.8, 1.2, size=(B, 2)))
+
+    def f(beta, data):
+        xd, obs = data
+        return obs["y"] - _curve_model(xd, beta) * obs["w"]
+
+    # axis leaf 0 covers the {'y','w'} subtree as a prefix
+    data = (xdata, {"y": ydata, "w": jnp.ones((B, m))})
+    axes = (None, 0)
+    plain = lso.solve_batch(f, x0s, data, output_length=m, data_axis=axes)
+    frac = lso.solve_batch(
+        f, x0s, data, output_length=m, data_axis=axes,
+        min_converged_fraction=1.0,
+    )
+    assert np.allclose(
+        np.asarray(plain["minimizer"]), np.asarray(frac["minimizer"]),
+        rtol=1e-12,
+    )
+
+
 def test_batch_fraction_stop():
     """min_converged_fraction: the fraction-stop loop ends a batch early,
     frozen fits are flagged unconverged, and every fit it did finish agrees
@@ -196,10 +241,13 @@ def test_batched_bounded_solves():
         return yd - beta[0] * (1 - jnp.exp(-beta[1] * xd))
 
     data = (jnp.broadcast_to(x, (B, m)), Y)
+    lowerb = jnp.array([2.6, 0.0])
+    # starts must be feasible (reference parity: infeasible starts raise —
+    # test_batch_infeasible_start_raises); clip them onto the box
+    x0b = jnp.maximum(betas * 1.2, lowerb)
     for opt in (lso.LevenbergMarquardt(lso.Cholesky()), lso.Dogleg(lso.QR())):
         raw = lso.solve_batch(
-            f, betas * 1.2, data, opt, output_length=m,
-            lower=jnp.array([2.6, 0.0]),
+            f, x0b, data, opt, output_length=m, lower=lowerb,
         )
         mins = np.asarray(raw["minimizer"])
         assert np.all(mins[:, 0] >= 2.6 - 1e-9)
