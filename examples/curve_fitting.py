@@ -62,6 +62,18 @@ def main():
     ok = np.mean(np.asarray(raw["converged"]))
     print(f"batched: {B} fits, {100 * ok:.1f}% converged")
 
+    # 6. same fits with gridded transcendentals: the uniform sample grid
+    # lets the exp-family models run 3 exps + power tables per evaluation
+    # instead of m exps (ops/special.py)
+    raw_g = lso.curve_fit_batch(
+        "exp_saturation", x, Y, betas * 1.3, gridded=True
+    )
+    agree = np.allclose(
+        np.asarray(raw_g["minimizer"]), np.asarray(raw["minimizer"]),
+        rtol=1e-6,
+    )
+    print(f"gridded: same minimizers: {agree}")
+
 
 if __name__ == "__main__":
     main()
