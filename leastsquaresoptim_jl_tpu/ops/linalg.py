@@ -95,6 +95,21 @@ def unrolled_chol_solve(gram, rhs):
     return unrolled_chol_solve_with_diag(gram, rhs)[0]
 
 
+def spd_chol_solve(gram, rhs):
+    """SPD solve dispatched by size: small parameter counts (the curve-fit
+    regime) unroll into VPU scalar-vector ops — batched LAPACK-style
+    kernels on (B, n, n) with tiny n are ~20x slower under vmap (see
+    unrolled_chol_solve) — larger ones use XLA's blocked Cholesky. The
+    one SPD-solve used by both the Cholesky and QR solver fallbacks."""
+    if gram.shape[-1] <= UNROLLED_SOLVE_MAX_N:
+        return unrolled_chol_solve(gram, rhs)
+    from jax.scipy.linalg import cholesky, solve_triangular
+
+    L = cholesky(gram, lower=True)
+    z = solve_triangular(L, rhs, lower=True)
+    return solve_triangular(L.T, z, lower=False)
+
+
 def unrolled_mgs_solve(A, b):
     """Least-squares solve min ||A x - b|| via modified Gram-Schmidt QR,
     fully unrolled over the (static, small) column dimension.

@@ -122,7 +122,7 @@ def _default_colnorms2(jvp_fn, rmatvec, m: int, n: int, dtype, x_lin):
                 key, (_HUTCHINSON_PROBES, m), dtype=dtype
             )
             cols = jax.vmap(rmatvec)(z)  # (k, n)
-            return jnp.mean(cols * cols, axis=0) * 1.0
+            return jnp.mean(cols * cols, axis=0)
     return colnorms2
 
 

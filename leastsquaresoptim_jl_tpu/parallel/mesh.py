@@ -84,7 +84,10 @@ def initialize_multihost(
     except RuntimeError as e:
         # Tolerate only the benign re-init case; a genuine multi-host setup
         # failure (bad coordinator, dead peer) must stay loud — silently
-        # degrading to single-host computes wrong results.
-        if "already initialized" not in str(e).lower():
+        # degrading to single-host computes wrong results. jax's re-init
+        # message is "distributed.initialize should only be called once"
+        # (jax 0.9; older builds said "already initialized").
+        msg = str(e).lower()
+        if "only be called once" not in msg and "already initialized" not in msg:
             raise
     return len(jax.devices())

@@ -97,20 +97,29 @@ def solve_sharded(
     matvecs. For small n a materialized row-sharded J with
     ``sharded_gram_and_rhs`` (below) is the normal-equations alternative.
     """
-    # Data and weights ride as jit *arguments*, not closure constants: a
-    # multi-process (multi-host) array spanning non-addressable devices
+    # Data/weights/bounds ride as jit *arguments*, not closure constants:
+    # a multi-process (multi-host) array spanning non-addressable devices
     # cannot be closed over at all, and even single-process closures would
-    # bake the dataset into the HLO (one recompile per dataset).
-    @functools.partial(jax.jit, out_shardings=None)
-    def run(x0_, data_, weights_):
+    # bake the dataset into the HLO (one recompile per dataset). The
+    # jitted core is cached on the static spec (_sharded_run) so repeated
+    # solves with the same residual/mesh/optimizer reuse one executable
+    # instead of retracing a fresh closure every call.
+    run = _sharded_run(per_row_residual, mesh, axis, optimizer, options)
+    with mesh:
+        return run(jnp.asarray(x0), data, weights, lower, upper)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_run(per_row_residual, mesh, axis, optimizer, options):
+    @jax.jit
+    def run(x0_, data_, weights_, lower_, upper_):
         problem = sharded_problem(
             per_row_residual, data_, x0_, mesh, axis=axis, weights=weights_
         )
         return solve(problem, optimizer, options=options,
-                     lower=lower, upper=upper, x0=x0_)
+                     lower=lower_, upper=upper_, x0=x0_)
 
-    with mesh:
-        return run(jnp.asarray(x0), data, weights)
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +161,6 @@ def make_sharded_operator(J, mesh: Mesh, axis: str = "rows") -> JacobianOperator
     from jax import shard_map
 
     m, n = J.shape
-    row_spec = NamedSharding(mesh, P(axis))
 
     def matvec(v):
         def local(Jb, vb):
@@ -178,7 +186,6 @@ def make_sharded_operator(J, mesh: Mesh, axis: str = "rows") -> JacobianOperator
             local, mesh=mesh, in_specs=(P(axis, None),), out_specs=P()
         )(J)
 
-    del row_spec
     return JacobianOperator(
         matvec=matvec, rmatvec=rmatvec, colnorms2=colnorms2,
         m=int(m), n=int(n), J=None,

@@ -46,10 +46,11 @@ class Cholesky(AbstractSolver):
 class LSMR(AbstractSolver):
     """Matrix-free LSMR solver tag (reference: src/solver/iterative_lsmr.jl).
 
-    ``preconditioner`` — optional callable ``(x, J_or_ops, damp) -> p`` that
-    returns the *diagonal* of a right preconditioner P^{-1} (the solver
-    iterates on A P^{-1}; reference: PreconditionedMatrix,
-    iterative_lsmr.jl:12-51). Defaults to the Jacobi preconditioner
+    ``preconditioner`` — optional callable ``(op, damp) -> p`` (the
+    current linear operator and the damping vector, or ``None`` on the
+    undamped Gauss-Newton path) returning the *diagonal* of a right
+    preconditioner P^{-1} (the solver iterates on A P^{-1}; reference:
+    PreconditionedMatrix, iterative_lsmr.jl:12-51). Defaults to the Jacobi preconditioner
     1/sqrt(colsumabs2(J) + damp) (reference: iterative_lsmr.jl:129-141).
     ``maxiter`` — optional cap on inner iterations (default max(m, n),
     reference: src/utils/lsmr.jl:55).
@@ -77,7 +78,7 @@ def default_solver(solver: Optional[AbstractSolver], problem) -> AbstractSolver:
         if isinstance(solver, QR) and not problem.materialize_jacobian:
             raise ValueError(
                 "solver QR() is not available for matrix-free problems. "
-                "Choose between Cholesky() and LSMR()"
+                "Choose LSMR()"
             )
         if isinstance(solver, Cholesky) and not problem.materialize_jacobian:
             raise ValueError(

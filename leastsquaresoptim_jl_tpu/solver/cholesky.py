@@ -29,20 +29,14 @@ from ..ops.gram import gram_and_rhs
 from ..ops.linalg import (
     UNROLLED_SOLVE_MAX_N,
     scaled_tikhonov_jitter,
-    unrolled_chol_solve,
+    spd_chol_solve,
     unrolled_chol_solve_with_diag,
 )
 
 
 def _chol_solve(gram, rhs):
-    if gram.shape[-1] <= UNROLLED_SOLVE_MAX_N:
-        # Small parameter counts (the curve-fit regime) unroll into VPU
-        # scalar-vector ops — batched LAPACK-style kernels on (B, n, n) with
-        # tiny n are ~20x slower under vmap (see ops/linalg.py).
-        return unrolled_chol_solve(gram, rhs)
-    L = jax.scipy.linalg.cholesky(gram, lower=True)
-    z = solve_triangular(L, rhs, lower=True)
-    return solve_triangular(L.T, z, lower=False)
+    # size-dispatched SPD solve shared with the QR fallback (ops/linalg.py)
+    return spd_chol_solve(gram, rhs)
 
 
 def _chol_solve_with_diag(gram, rhs):

@@ -101,7 +101,7 @@ def solve_damped(
     b = (y, jnp.zeros((op.n,), dtype=y.dtype))
     x0 = jnp.zeros((op.n,), dtype=y.dtype)
     if maxiter is None:
-        maxiter = max(op.m + op.n, op.n)  # stacked system has m + n rows
+        maxiter = op.m + op.n  # stacked system has m + n rows
     xt, stats = lsmr(
         matvec, rmatvec, b, x0,
         maxiter=maxiter,

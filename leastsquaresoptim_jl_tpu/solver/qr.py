@@ -35,17 +35,9 @@ from ..ops.linalg import (
     UNROLLED_SOLVE_MAX_N,
     blocked_mgs_solve,
     scaled_tikhonov_jitter,
-    unrolled_chol_solve,
+    spd_chol_solve,
     unrolled_mgs_solve,
 )
-
-
-def _spd_solve(gram, rhs):
-    if gram.shape[-1] <= UNROLLED_SOLVE_MAX_N:
-        return unrolled_chol_solve(gram, rhs)
-    L = jax.scipy.linalg.cholesky(gram, lower=True)
-    z = solve_triangular(L, rhs, lower=True)
-    return solve_triangular(L.T, z, lower=False)
 
 
 def _jittered_normal_solve(J, y):
@@ -53,7 +45,7 @@ def _jittered_normal_solve(J, y):
     equations (see ops/linalg.scaled_tikhonov_jitter)."""
     gram, rhs = gram_and_rhs(J, y)
     gram = gram + jnp.diag(scaled_tikhonov_jitter(gram))
-    return _spd_solve(gram, rhs)
+    return spd_chol_solve(gram, rhs)
 
 
 def solve_gn(J, y):
@@ -69,7 +61,7 @@ def solve_gn(J, y):
         row_gram = J @ J.T
         eps = jnp.finfo(J.dtype).eps
         jitter = jnp.maximum(jnp.trace(row_gram) / m, 1.0) * eps * 100.0
-        w = _spd_solve(row_gram + jitter * jnp.eye(m, dtype=J.dtype), y)
+        w = spd_chol_solve(row_gram + jitter * jnp.eye(m, dtype=J.dtype), y)
         return J.T @ w, jnp.int32(1)
     if n <= UNROLLED_SOLVE_MAX_N:
         # Small parameter counts: unrolled modified-Gram-Schmidt QR — the
