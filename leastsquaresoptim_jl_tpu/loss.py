@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Callable, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["LOSSES", "robustify"]
 
@@ -88,6 +89,12 @@ def robustify(
                 f"unknown loss {loss!r}; expected one of {sorted(LOSSES)} "
                 "or a callable rho_over_z"
             ) from None
+    f_scale = float(f_scale)
+    if not (f_scale > 0.0) or not np.isfinite(f_scale):
+        raise ValueError(
+            f"f_scale must be a positive finite number, got {f_scale!r} "
+            "(0 would collapse every residual to 0/NaN and fake a perfect fit)"
+        )
     if ratio is _rho_over_z_linear:
         return residual_fn
 

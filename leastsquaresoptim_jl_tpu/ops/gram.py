@@ -60,13 +60,12 @@ def _gram_xla(J, y):
         gram = jnp.sum(J[..., :, :, None] * J[..., :, None, :], axis=-3)
         rhs = jnp.sum(J * y[..., :, None], axis=-2)
         return gram, rhs
-    gram = J.T @ J
-    rhs = J.T @ y
+    # swapaxes, not .T: explicit batch dims ((B, m, n) J) keep their
+    # leading axes, matching the broadcast branch above.
+    Jt = jnp.swapaxes(J, -1, -2)
+    gram = Jt @ J
+    rhs = jnp.einsum("...mn,...m->...n", J, y)
     return gram, rhs
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("block_x", "interpret"))
@@ -132,6 +131,12 @@ def _gram_pallas(J, y, interpret: bool = False, block_m: int | None = None):
     # J rows per grid step; overridable so the interpreter-mode correctness
     # tests can exercise the multi-block + tail paths on small arrays.
     rows_per_block = _BLOCK_M if block_m is None else block_m
+    if rows_per_block % fold != 0:
+        raise ValueError(
+            f"block_m={rows_per_block} must be a multiple of the fold "
+            f"factor {fold} (n={n}): a non-dividing block would silently "
+            "drop rows from the X'X grid"
+        )
     m_main = (m // (rows_per_block * fold)) * (rows_per_block * fold)
 
     gram = jnp.zeros((n, n), jnp.float32)

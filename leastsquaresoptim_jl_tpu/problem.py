@@ -182,7 +182,9 @@ def least_squares_problem(
         raise ValueError(f"x must be a vector, got shape {x.shape}")
 
     # Wrap scalar-valued residuals (reference regression: issue #41,
-    # test/runtests.jl:43-46).
+    # test/runtests.jl:43-46) and ravel multi-dim residual grids — the
+    # output_length inference below counts total elements, so the
+    # residual surface must match it.
     base_f = f
 
     def residual_fn(xx):
@@ -190,6 +192,8 @@ def least_squares_problem(
         r = jnp.asarray(r)
         if r.ndim == 0:
             r = r[None]
+        elif r.ndim > 1:
+            r = r.reshape(-1)
         return r
 
     if output_length is None:

@@ -20,12 +20,13 @@ class IsFiniteError(Exception):
     status code instead and only the host-level API raises.
     """
 
-    def __init__(self, indices):
+    def __init__(self, indices, kind: str = "equation"):
         self.indices = list(indices)
+        self.kind = kind
+        noun = "equation(s)" if kind == "equation" else "parameter(s)"
         super().__init__(
-            "During the resolution of the non-linear system, the evaluation "
-            f"of the following equation(s) resulted in a non-finite number: "
-            f"{self.indices}"
+            "During the resolution of the non-linear system, the following "
+            f"{noun} took a non-finite value: {self.indices}"
         )
 
 
@@ -149,14 +150,19 @@ def _host_jacobian(j):
     return np.asarray(j)
 
 
-def result_from_raw(raw, opts, residual_at_min=None) -> LeastSquaresResult:
+def result_from_raw(raw, opts) -> LeastSquaresResult:
     """Materialize a host-side result from the raw on-device pytree."""
     minimizer = np.asarray(raw["minimizer"])
     if int(np.asarray(raw["status"])) != 0:
+        # The indices are of the non-finite *parameters* (the jit-safe loop
+        # carries only the iterate; the reference's per-equation indices,
+        # src/utils/utils.jl:63-78, come from its host-side residual check).
         bad = [int(i) for i in np.flatnonzero(~np.isfinite(minimizer))]
-        raise IsFiniteError(bad)
+        raise IsFiniteError(bad, kind="parameter")
     return LeastSquaresResult(
-        optimizer=raw["optimizer"],
+        # "optimizer" is injected by the host verbs; raw pytrees straight
+        # from solve/solve_batch/best_of_raw don't carry it.
+        optimizer=raw.get("optimizer", "unknown"),
         minimizer=minimizer,
         ssr=float(np.asarray(raw["ssr"])),
         iterations=int(np.asarray(raw["iterations"])),

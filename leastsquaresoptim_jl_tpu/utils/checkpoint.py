@@ -75,6 +75,16 @@ def load_pytree(path: str, like: Any) -> Any:
         raise ValueError(
             f"checkpoint has {n} leaves but target structure has {len(leaves)}"
         )
+    if "__treedef__" in data.files:
+        # Structure check, not just leaf count: dicts flatten by sorted
+        # key, so an equal-leaf-count mismatch (renamed/replaced fields)
+        # would silently reassign leaves to the wrong fields.
+        saved = json.loads(str(data["__treedef__"]))
+        if saved != str(treedef):
+            raise ValueError(
+                "checkpoint tree structure does not match `like`:\n"
+                f"  saved: {saved}\n  like:  {treedef}"
+            )
     new_leaves = [data[f"leaf_{i}"] for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

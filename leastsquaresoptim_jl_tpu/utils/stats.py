@@ -64,7 +64,13 @@ def covariance(result, m: int | None = None, problem=None) -> np.ndarray:
     rows, n = J.shape
     if m is None:
         m = rows
-    dof = max(m - n, 1)
+    if m <= n:
+        # No residual degrees of freedom: s^2 = ssr/(m-n) is undefined and
+        # any finite covariance would be confidently wrong. Same philosophy
+        # as the rank handling below — unidentifiable => infinite variance
+        # (scipy.optimize.curve_fit returns inf pcov here too).
+        return np.full((n, n), np.inf)
+    dof = m - n
     s2 = float(result.ssr) / dof
     gram = J.T @ J
     # Equilibrate before the eigendecomposition: the rank test must see the

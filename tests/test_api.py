@@ -152,6 +152,41 @@ def test_resume_from_x0_and_checkpoint(tmp_path):
     assert np.allclose(r2.minimizer, [1.0, 1.0], atol=1e-6)
     # resumed solve must beat restarting for the same extra budget
     assert r2.ssr <= 1e-10
+    # structure mismatch with equal leaf count must be loud, not scramble
+    import pytest
+
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.load_pytree(path, {"renamed": r1.minimizer})
+
+
+def test_result_from_raw_on_raw_solve():
+    """result_from_raw composes with raw pytrees from solve/solve_batch
+    (no host-verb 'optimizer' key injected)."""
+    from leastsquaresoptim_jl_tpu.result import result_from_raw
+
+    def f(x):
+        return jnp.array([1 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+
+    p = lso.least_squares_problem(f=f, x=jnp.zeros(2))
+    raw = lso.solve(p, lso.Dogleg(lso.QR()))
+    res = result_from_raw(dict(raw), lso.Options())
+    assert res.converged and np.allclose(res.minimizer, [1.0, 1.0], atol=1e-6)
+    assert isinstance(res.optimizer, str)
+
+
+def test_multidim_residual_grid_ravels():
+    """A residual returning a 2-D grid is raveled: output_length inference
+    counts elements, so the surface must match (e.g. image-fitting models)."""
+    target = jnp.arange(12.0).reshape(3, 4)
+
+    def f(x):
+        return x[0] * jnp.ones((3, 4)) + x[1] - target
+
+    r = lso.optimize(f, jnp.zeros(2))
+    assert r.converged
+    # minimizes sum over the grid; optimum satisfies x0 + x1 = mean(target)
+    assert np.isclose(r.minimizer[0] + r.minimizer[1], float(target.mean()),
+                      atol=1e-6)
 
 
 def test_pytree_parameters():

@@ -68,6 +68,28 @@ def test_gram_pallas_rejects_unsupported_n():
         _gram_pallas(J, y, interpret=True, block_m=BLOCK)
 
 
+def test_gram_pallas_rejects_nondividing_block():
+    """A block_m the fold factor doesn't divide would silently drop rows
+    from the X'X grid (X rows % block_x != 0) — must raise, not corrupt."""
+    J, y = _case(18, 64, seed=1)  # fold=2
+    with pytest.raises(ValueError, match="multiple of the fold"):
+        _gram_pallas(J, y, interpret=True, block_m=9)
+
+
+def test_gram_xla_batched_large_n():
+    """The n>16 branch must honor explicit batch dims like the broadcast
+    branch does (J.T on a 3-D array reverses ALL axes — regression)."""
+    rng = np.random.default_rng(7)
+    J = jnp.asarray(rng.standard_normal((3, 40, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((3, 40)), jnp.float32)
+    g, r = _gram_xla(J, y)
+    assert g.shape == (3, 32, 32) and r.shape == (3, 32)
+    for b in range(3):
+        gb, rb = _gram_xla(J[b], y[b])
+        assert np.allclose(np.asarray(g[b]), np.asarray(gb), rtol=1e-5, atol=1e-5)
+        assert np.allclose(np.asarray(r[b]), np.asarray(rb), rtol=1e-5, atol=1e-5)
+
+
 def test_gram_and_rhs_default_is_xla():
     """The default path is XLA (honest round-2 demotion); use_pallas=None
     and False must agree bitwise with the XLA form."""

@@ -93,6 +93,11 @@ def test_loss_validation():
     # linear loss is a no-op passthrough
     fn = lambda x: x
     assert robustify(fn, "linear") is fn
+    # f_scale=0 would collapse residuals to 0/NaN — a fake perfect fit
+    with pytest.raises(ValueError, match="f_scale"):
+        robustify(fn, "huber", f_scale=0.0)
+    with pytest.raises(ValueError, match="f_scale"):
+        robustify(fn, "huber", f_scale=float("nan"))
 
 
 def test_curve_fit_robust_kwarg():

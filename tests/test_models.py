@@ -102,6 +102,22 @@ def test_covariance_and_standard_errors():
     assert onp.all(se > 0.5 * se_true) and onp.all(se < 2.0 * se_true)
 
 
+def test_covariance_underdetermined_is_infinite():
+    """m <= n leaves no residual degrees of freedom: s^2 = ssr/(m-n) is
+    undefined and the covariance must be inf, not confidently wrong
+    (scipy.optimize.curve_fit's inf-pcov behavior)."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.utils import covariance
+
+    def f(x):
+        return jnp.array([x[0] + x[1] - 1.0, x[0] - x[1] - 0.2])
+
+    r = lso.optimize(f, jnp.zeros(2), lso.LevenbergMarquardt(lso.QR()))
+    cov = covariance(r)  # m == n == 2
+    assert cov.shape == (2, 2) and onp.all(onp.isinf(cov))
+
+
 def test_covariance_rank_deficient():
     """Unidentifiable parameters get infinite variance; identifiable ones
     keep their finite pseudo-inverse covariance (no inf/NaN flooding)."""
