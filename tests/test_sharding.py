@@ -92,6 +92,18 @@ def test_solve_sharded_curve_fit_matches_single_chip():
     assert np.allclose(raw["minimizer"], ref["minimizer"], atol=1e-6)
     assert int(raw["iterations"]) == int(ref["iterations"])
 
+    # Executable reuse: a second call with the same static spec must hit
+    # the cached jitted core (a fresh closure per call would retrace +
+    # recompile the whole solve loop every time).
+    from leastsquaresoptim_jl_tpu.parallel.sharded import _sharded_run
+
+    hits0 = _sharded_run.cache_info().hits
+    raw2 = solve_sharded(
+        per_row, data, x0 * 1.01, mesh, lso.LevenbergMarquardt(lso.LSMR())
+    )
+    assert _sharded_run.cache_info().hits == hits0 + 1
+    assert bool(raw2["converged"])
+
 
 def test_solve_sharded_batch_axis():
     """2D mesh: independent fits over 'batch', rows over 'rows'."""
