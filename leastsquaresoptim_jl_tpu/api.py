@@ -127,6 +127,11 @@ def _captured_arrays(f, depth=3, seen=None, budget=None):
         budget[0] -= 1
         if isinstance(o, (np.ndarray, jax.Array)):
             out.append(o)
+        elif isinstance(o, (bool, int, float, complex, str, bytes)):
+            # Captured Python scalars are trace constants too: a rebound
+            # module-level `scale = 2.0` must invalidate the cache the
+            # same way a rebound array does.
+            out.append(("pyval", type(o).__name__, o))
         elif isinstance(o, (tuple, list)):
             seen.add(id(o))
             for x in o:
@@ -166,24 +171,28 @@ def _captured_arrays(f, depth=3, seen=None, budget=None):
 
 
 def _array_fingerprint(a):
-    """Cache fingerprint of one captured array.
+    """Cache fingerprint of one captured array (or scalar pseudo-capture).
 
     numpy arrays are mutable in place, so identity is not enough — hash
-    the contents (adler32; ~GB/s, negligible next to the recompile a miss
-    triggers, and the arrays a residual closes over are data-sized, not
-    model-sized). jax.Arrays are immutable: identity + shape/dtype
-    suffices and avoids pulling device buffers to the host."""
-    import zlib
+    the contents (blake2b; ~GB/s, negligible next to the recompile a miss
+    triggers, and collision-free in practice where a 32-bit checksum over
+    many same-shaped datasets would not be). jax.Arrays are immutable:
+    identity + shape/dtype suffices and avoids pulling device buffers to
+    the host."""
+    import hashlib
 
     import numpy as np
 
+    if isinstance(a, tuple):  # ("pyval", type, value) from _captured_arrays
+        return a
     if isinstance(a, np.ndarray):
         if a.dtype.hasobject:  # not byte-viewable: identity is the best we have
             return ("np-obj", a.shape, id(a))
-        return (
-            "np", a.shape, a.dtype.str,
-            zlib.adler32(np.ascontiguousarray(a).view(np.uint8).reshape(-1)),
-        )
+        digest = hashlib.blake2b(
+            np.ascontiguousarray(a).view(np.uint8).reshape(-1),
+            digest_size=16,
+        ).digest()
+        return ("np", a.shape, a.dtype.str, digest)
     return ("jx", getattr(a, "shape", None), str(getattr(a, "dtype", None)), id(a))
 
 

@@ -42,53 +42,42 @@ CURVES = {
 }
 
 
-# Gridded variants: for models whose transcendental argument is linear in
-# x, a *uniform* sample grid turns the per-sample exp into a geometric
-# sequence (ops/special.make_exp_grid: 3 exps + power tables instead of m
-# exps). Few-ulp·log2(m) rounding vs the naive form — below the f32
-# solve tolerances.
-_GRIDDED_NAMES = ("exp_saturation", "exp_decay", "logistic")
+# Gridded variants: for models whose transcendental argument is s*x with
+# a *parameter-free offset*, a uniform sample grid turns the per-sample
+# exp into a geometric sequence (ops/special.make_exp_grid: 3 exps +
+# power tables instead of m exps). Few-ulp·log2(m) rounding vs the naive
+# form — below the f32 solve tolerances — with the naive exp's exact
+# saturation semantics (inf/0, never NaN).
+#
+# The logistic is deliberately NOT here: exp(b1 - b2*x) needs a
+# parameter-dependent scalar prefactor (exp of the offset) times the
+# table, and when the transition is steep (|b2|*dt*m/2 beyond the dtype's
+# exp range) the prefactor and the table saturate in opposite directions
+# while the per-sample exponent is moderate — the product is then
+# unrecoverable (0*inf) without re-doing the per-sample exp, which would
+# erase the win. Measured failure: O(1)-wrong model values near the grid
+# edge at f32 with b2 ≳ 2.8 on a dt=1, m=64 grid.
+_GRIDDED_NAMES = ("exp_saturation", "exp_decay")
 
 
 def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
     """Gridded-exp evaluator for a named CURVES model on the uniform grid
-    ``x_i = t0 + i*dt`` (i < m). Supported: exp_saturation, exp_decay,
-    logistic. The returned callable has the usual ``model(x, beta)``
-    signature but ignores ``x`` (the grid is static)."""
+    ``x_i = t0 + i*dt`` (i < m). Supported: exp_saturation, exp_decay
+    (models whose exp argument has no parameter-dependent offset — see
+    the note above for why the logistic is excluded). The returned
+    callable has the usual ``model(x, beta)`` signature but ignores ``x``
+    (the grid is static)."""
     if name not in _GRIDDED_NAMES:
         raise ValueError(
             f"no gridded variant for {name!r}; supported: "
             f"{sorted(_GRIDDED_NAMES)}"
         )
-    import numpy as np
-
     from ..ops.special import make_exp_grid
 
+    e = make_exp_grid(t0, dt, m)
     if name == "exp_saturation":
-        e = make_exp_grid(t0, dt, m)
         return lambda x, b: b[0] * (1.0 - e(-b[1]))
-    if name == "exp_decay":
-        e = make_exp_grid(t0, dt, m)
-        return lambda x, b: b[0] * e(-b[1]) + b[2]
-    # logistic: b0 / (1 + exp(b1 - b2 x)). Factorizing as
-    # exp(b1) * e(-b2) overflows where the naive form is finite (inf * 0
-    # underflow -> NaN). Center the grid so the scalar prefactor carries
-    # the exponent at the grid MIDPOINT — finite whenever the sigmoid
-    # transition is anywhere near the data — and repair the residual
-    # inf*0 corners (wild trial points) with the exact exponent sign.
-    x_np = t0 + dt * np.arange(m, dtype=np.float64)
-    x_c = float(x_np[(m - 1) // 2])
-    e_c = make_exp_grid(t0 - x_c, dt, m)
-
-    def logistic(x, b):
-        t = jnp.exp(b[1] - b[2] * x_c) * e_c(-b[2])
-        z = b[1] - b[2] * jnp.asarray(x_np, t.dtype)
-        t = jnp.where(
-            jnp.isnan(t), jnp.where(z >= 0, jnp.inf, 0.0).astype(t.dtype), t
-        )
-        return b[0] / (1.0 + t)
-
-    return logistic
+    return lambda x, b: b[0] * e(-b[1]) + b[2]
 
 
 def _as_model(model) -> Callable:
@@ -128,19 +117,60 @@ def curve_fit(
     fits. Remaining kwargs (x_tol, f_tol, g_tol, iterations, store_trace,
     ...) go to ``optimize_problem``. Returns a LeastSquaresResult.
     """
-    model = _as_model(model)
-    xdata = jnp.asarray(xdata)
-    ydata = jnp.asarray(ydata)
-    w = None if weights is None else jnp.asarray(weights)
+    from ..api import _array_fingerprint
 
-    def residual(beta):
-        r = ydata - model(xdata, beta)
-        return r if w is None else w * r
+    model_key = model  # name string, or callable keyed by identity
+    model = _as_model(model)
+    # The residual closure is cached on (model, data fingerprints): a
+    # fresh closure per call would defeat optimize's problem cache (keyed
+    # on f identity) and recompile the solve on every curve_fit call.
+    # Fingerprints are taken on the USER's arrays (numpy by content,
+    # jax by identity) before conversion, so repeated calls with the same
+    # data hit regardless of input type.
+    def _fp(a):
+        import jax as _jax
+        import numpy as _np
+
+        if not isinstance(a, (_np.ndarray, _jax.Array)):
+            # lists/tuples: content-hash via numpy (their id is transient
+            # — keying on it could collide after GC reuses it)
+            a = _np.asarray(a)
+        return _array_fingerprint(a)
+
+    try:
+        key = (
+            model_key,
+            _fp(xdata),
+            _fp(ydata),
+            None if weights is None else _fp(weights),
+        )
+        hash(key)
+    except (TypeError, ValueError):
+        key = None
+    residual = _RESIDUAL_CACHE.get(key) if key is not None else None
+    if residual is not None:
+        _RESIDUAL_CACHE[key] = _RESIDUAL_CACHE.pop(key)  # LRU refresh
+    else:
+        xj = jnp.asarray(xdata)
+        yj = jnp.asarray(ydata)
+        w = None if weights is None else jnp.asarray(weights)
+
+        def residual(beta):
+            r = yj - model(xj, beta)
+            return r if w is None else w * r
+
+        if key is not None:
+            if len(_RESIDUAL_CACHE) >= 64:
+                _RESIDUAL_CACHE.pop(next(iter(_RESIDUAL_CACHE)))
+            _RESIDUAL_CACHE[key] = residual
 
     return optimize(
         residual, jnp.asarray(p0), optimizer,
         lower=lower, upper=upper, **kwargs,
     )
+
+
+_RESIDUAL_CACHE: dict = {}
 
 
 def curve_fit_batch(
@@ -226,8 +256,8 @@ def curve_fit_batch(
         return wd * (yd - model(xd, beta))
 
     if loss != "linear":
-        # robustify wraps f(beta, d); partial-apply per data element so the
-        # transform sees the full (beta, d) signature (loss.py is exact and
+        # robustify wraps f(beta, d) as-is — its wrapper forwards *args,
+        # so the (beta, d) signature passes through (loss.py is exact and
         # AD-differentiated, same as the single-fit path).
         from ..loss import robustify
 

@@ -98,7 +98,16 @@ def make_exp_grid(t0: float, dt: float, m: int):
     x_np = t0 + dt * np.arange(m, dtype=np.float64)
     crosses = bool(x_np[0] * x_np[-1] < 0)
     if not crosses:
-        core = _oneside_eval(t0, dt, m)
+        # Base the tables at the endpoint nearest zero and step outward:
+        # all table exponents then share s's sign and saturate
+        # monotonically. Basing at the far end would pair an
+        # out-of-range base exp(s*t0) with opposite-direction powers
+        # (inf*0 -> NaN where the naive exp is finite or cleanly 0/inf).
+        if abs(float(x_np[0])) <= abs(float(x_np[-1])):
+            core = _oneside_eval(t0, dt, m)
+        else:
+            rev = _oneside_eval(float(x_np[-1]), -dt, m)
+            core = lambda s: rev(s)[::-1]
     else:
         # Split at the sample nearest zero: each side's exponents grow
         # one-signed outward, so its products saturate monotonically

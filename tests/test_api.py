@@ -344,6 +344,44 @@ def test_optimize_cache_sees_inplace_numpy_mutation():
     assert np.allclose(r2.minimizer, [3.0], atol=1e-8)
 
 
+def test_optimize_cache_sees_rebound_scalar():
+    """A captured Python scalar is a trace constant too: rebinding it must
+    invalidate the cache like rebinding an array does."""
+    scale = 2.0
+
+    def f(b):
+        return jnp.array([b[0] - scale])
+
+    r1 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r1.minimizer, [2.0], atol=1e-10)
+    scale = 3.0
+    r2 = lso.optimize(f, jnp.zeros(1))
+    assert np.allclose(r2.minimizer, [3.0], atol=1e-10)
+
+
+def test_curve_fit_reuses_compiled_problem():
+    """Repeated curve_fit calls with the same model+data reuse one cached
+    residual closure — and therefore one compiled problem — instead of
+    recompiling per call (the closure is keyed on data fingerprints)."""
+    from leastsquaresoptim_jl_tpu import api
+    from leastsquaresoptim_jl_tpu.models import curves
+
+    x = np.linspace(1.0, 10.0, 30)
+    y = 3.0 * (1.0 - np.exp(-0.4 * x))
+    r1 = lso.curve_fit("exp_saturation", x, y, [2.0, 0.3])
+    n_problems = len(api._PROBLEM_CACHE)
+    n_residuals = len(curves._RESIDUAL_CACHE)
+    r2 = lso.curve_fit("exp_saturation", x, y, [2.5, 0.5])
+    assert len(api._PROBLEM_CACHE) == n_problems  # same problem object
+    assert len(curves._RESIDUAL_CACHE) == n_residuals
+    assert r1.converged and r2.converged
+    assert np.allclose(r1.minimizer, r2.minimizer, atol=1e-6)
+    # changed data => different fingerprint => fresh problem (no stale fit)
+    y2 = 5.0 * (1.0 - np.exp(-0.4 * x))
+    r3 = lso.curve_fit("exp_saturation", x, y2, [2.0, 0.3])
+    assert np.allclose(r3.minimizer[0], 5.0, atol=1e-5)
+
+
 def test_optimize_cache_sees_bound_method_state():
     """A residual passed as a bound method: rebinding an attribute of its
     receiver must invalidate the cache (the receiver's attributes are the

@@ -52,7 +52,7 @@ def test_exp_grid_gradients_exact_rule():
     assert np.allclose(np.asarray(g), np.asarray(expect), rtol=1e-13)
 
 
-@pytest.mark.parametrize("name", ["exp_saturation", "exp_decay", "logistic"])
+@pytest.mark.parametrize("name", ["exp_saturation", "exp_decay"])
 def test_curve_fit_batch_gridded_matches_naive(name):
     from leastsquaresoptim_jl_tpu.models import curve_fit_batch
 
@@ -61,13 +61,9 @@ def test_curve_fit_batch_gridded_matches_naive(name):
     xd = np.linspace(0.5, 12.0, m)
     if name == "exp_saturation":
         betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
-    elif name == "exp_decay":
+    else:  # exp_decay
         betas = np.stack(
             [rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B), rng.uniform(0.5, 2, B)], 1
-        )
-    else:  # logistic
-        betas = np.stack(
-            [rng.uniform(2, 5, B), rng.uniform(1, 3, B), rng.uniform(0.5, 1.2, B)], 1
         )
     model = lso.models.CURVES[name]
     Y = np.asarray(jax.vmap(lambda b: model(jnp.asarray(xd), b))(jnp.asarray(betas)))
@@ -122,25 +118,34 @@ def test_curve_fit_batch_gridded_accepts_f32_grid():
     assert rel < 1e-4, rel
 
 
-def test_gridded_logistic_no_overflow_nan():
-    """exp(b1)*e(-b2) overflows f32 where the naive exp(b1 - b2 x) form is
-    finite; the centered + sign-repaired gridded logistic must match the
-    naive model (finite, no NaN) at large-b1 parameterizations."""
+def test_gridded_logistic_rejected():
+    """The logistic is deliberately unsupported: its parameter-dependent
+    exp offset makes the scalar-prefactor-times-table factorization
+    saturate (0*inf) where the naive form is finite — measured O(1)-wrong
+    values near the grid edge for steep f32 transitions. The contract is
+    a loud error, not silent corruption."""
     from leastsquaresoptim_jl_tpu.models import gridded_model
-    from leastsquaresoptim_jl_tpu.models.curves import CURVES
 
-    m = 64
-    x = np.arange(1.0, m + 1.0)
-    gl = gridded_model("logistic", 1.0, 1.0, m)
-    naive = CURVES["logistic"]
-    for b in ([1.0, 90.0, 3.0], [2.0, -80.0, -2.5], [1.0, 300.0, 10.0]):
-        bj = jnp.asarray(b, jnp.float32)
-        got = np.asarray(gl(None, bj), np.float64)
-        ref = np.asarray(naive(jnp.asarray(x, jnp.float32), bj), np.float64)
-        assert np.all(np.isfinite(got)), (b, got)
-        assert np.allclose(got, ref, rtol=2e-4, atol=1e-7), (
-            b, np.max(np.abs(got - ref))
-        )
+    with pytest.raises(ValueError, match="gridded variant"):
+        gridded_model("logistic", 1.0, 1.0, 64)
+
+
+def test_exp_grid_decreasing_abs_grid_no_nan():
+    """A one-sided grid whose |x| DECREASES along the grid (all-negative
+    ascending here) must base its tables at the near-zero end: basing at
+    the start pairs an underflowed exp(s*t0) with overflowing powers —
+    NaN where the naive exp is finite (x=0 sample: exactly 1.0)."""
+    for t0, dt, m, s in [(-5.0, 1.0, 6, 30.0), (-40.0, 1.0, 41, 20.0),
+                         (40.0, -1.0, 41, 20.0)]:
+        e = make_exp_grid(t0, dt, m)
+        x = t0 + dt * np.arange(m)
+        got = np.asarray(e(jnp.float32(s)))
+        assert not np.any(np.isnan(got)), (t0, dt, s, got)
+        with np.errstate(over="ignore"):
+            ref = np.exp(np.float32(s) * x.astype(np.float32), dtype=np.float32)
+        finite = np.isfinite(ref) & (ref > 0)
+        assert np.allclose(got[finite], ref[finite], rtol=2e-4), (t0, dt, s)
+        assert np.array_equal(np.isinf(got), np.isinf(ref))
 
 
 def test_exp_grid_sign_crossing_extreme_s_no_nan():
