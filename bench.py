@@ -91,6 +91,25 @@ def _numpy_lm_fit(xd, yd, beta0, iters=MAX_ITERS):
 
 
 def main():
+    # Watchdog around backend init + first compile: the axon tunnel can
+    # wedge hard (jax.devices() blocks forever — observed for hours on
+    # 2026-08-17). A healthy chip warms up in <2 min even with the remote
+    # compile; 20 min without progress means the backend is unreachable —
+    # exit loudly with NO metric line rather than hang the driver or
+    # fabricate a number.
+    import signal
+
+    def _watchdog(signum, frame):
+        print(
+            "bench.py watchdog: TPU backend unreachable for 20 min "
+            "(axon tunnel wedged?) — aborting without a metric",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(1200)
+
     import jax
     import jax.numpy as jnp
 
@@ -164,6 +183,7 @@ def main():
     run = jax.jit(run_batches)
 
     np.asarray(run(x0j, data)[1])  # warmup/compile
+    signal.alarm(0)  # backend + compile proven live; timing runs unguarded
     reps = 4
     runs = []
     for i in range(reps):
