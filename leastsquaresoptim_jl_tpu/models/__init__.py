@@ -1,6 +1,7 @@
 """Built-in model families and canonical test problems.
 
   * curves     — curve_fit / curve_fit_batch regression front end + CURVES zoo
+  * separable  — variable projection (VarPro) structures for the zoo
   * nist       — the 16 NIST StRD certified datasets + their models
   * minpack    — the 14 More-Garbow-Hillstrom (MINPACK hybrj) test problems
 
@@ -13,12 +14,16 @@ from .curves import CURVES, curve_fit, curve_fit_batch, gridded_model
 from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
+from .separable import SEPARABLE, SeparableModel, gridded_separable
 
 __all__ = [
     "curve_fit",
     "curve_fit_batch",
     "CURVES",
     "gridded_model",
+    "SEPARABLE",
+    "SeparableModel",
+    "gridded_separable",
     "full_suite",
     "cholesky_suite",
     "NIST_DATASETS",

@@ -106,6 +106,7 @@ def curve_fit(
     optimizer=None,
     lower=None,
     upper=None,
+    separable: bool = False,
     **kwargs,
 ):
     """Fit ``model(x, beta)`` to (xdata, ydata) by weighted least squares.
@@ -114,12 +115,23 @@ def curve_fit(
     models/nist.py MODELS. ``weights`` (optional, same shape as ydata)
     scales residuals: minimizes sum(w^2 (y - model)^2). ``loss=``/
     ``f_scale=`` select a robust loss (loss.py) for outlier-resistant
-    fits. Remaining kwargs (x_tol, f_tol, g_tol, iterations, store_trace,
-    ...) go to ``optimize_problem``. Returns a LeastSquaresResult.
+    fits. ``separable=True`` runs variable projection (see
+    curve_fit_batch and models/separable.py): the outer solve runs on the
+    nonlinear parameters only, the returned minimizer is the full vector,
+    and the result's convergence criteria/work counters refer to the
+    reduced problem. Remaining kwargs (x_tol, f_tol, g_tol, iterations,
+    store_trace, ...) go to ``optimize_problem``. Returns a
+    LeastSquaresResult.
     """
     from ..api import _array_fingerprint
 
     model_key = model  # name string, or callable keyed by identity
+    if separable:
+        return _curve_fit_separable(
+            model, xdata, ydata, p0,
+            weights=weights, optimizer=optimizer,
+            lower=lower, upper=upper, **kwargs,
+        )
     model = _as_model(model)
     # The residual closure is cached on (model, data fingerprints): a
     # fresh closure per call would defeat optimize's problem cache (keyed
@@ -173,6 +185,100 @@ def curve_fit(
 _RESIDUAL_CACHE: dict = {}
 
 
+def _curve_fit_separable(
+    model, xdata, ydata, p0, *, weights, optimizer, lower, upper, **kwargs
+):
+    """curve_fit with VarPro (separable=True). Same contracts as the
+    batched path: named SEPARABLE model or SeparableModel instance, no
+    bounds, linear loss only."""
+    import dataclasses
+
+    import numpy as np
+
+    from .separable import (
+        SEPARABLE,
+        SeparableModel,
+        assemble_minimizer,
+        reduced_residual,
+    )
+
+    if isinstance(model, SeparableModel):
+        sep = model
+        model_key = model  # instance identity keys the cache
+    elif isinstance(model, str) and model in SEPARABLE:
+        sep = SEPARABLE[model]
+        model_key = model
+    else:
+        raise ValueError(
+            "separable=True needs a SeparableModel or a named model with "
+            f"separable structure; supported names: {sorted(SEPARABLE)}"
+        )
+    if lower is not None or upper is not None:
+        raise ValueError(
+            "separable=True does not support bounds (the eliminated "
+            "linear coefficients cannot be box-constrained)"
+        )
+    if kwargs.get("loss", "linear") != "linear":
+        raise ValueError(
+            "separable=True requires loss='linear': VarPro eliminates the "
+            "coefficients in exact least squares (robust losses would "
+            "need IRLS)"
+        )
+
+    from ..api import _array_fingerprint
+
+    def _fp(a):
+        import jax as _jax
+
+        if not isinstance(a, (np.ndarray, _jax.Array)):
+            a = np.asarray(a)
+        return _array_fingerprint(a)
+
+    weighted = weights is not None
+    try:
+        key = (
+            "separable",
+            model_key,
+            _fp(xdata),
+            _fp(ydata),
+            None if weights is None else _fp(weights),
+        )
+        hash(key)
+    except (TypeError, ValueError):
+        key = None
+    residual = _RESIDUAL_CACHE.get(key) if key is not None else None
+    data = (
+        (jnp.asarray(xdata), jnp.asarray(ydata))
+        if not weighted
+        else (jnp.asarray(xdata), jnp.asarray(ydata), jnp.asarray(weights))
+    )
+    if residual is not None:
+        _RESIDUAL_CACHE[key] = _RESIDUAL_CACHE.pop(key)  # LRU refresh
+    else:
+        fred = reduced_residual(sep, weighted=weighted)
+
+        def residual(alpha, _d=data):
+            return fred(alpha, _d)
+
+        if key is not None:
+            if len(_RESIDUAL_CACHE) >= 64:
+                _RESIDUAL_CACHE.pop(next(iter(_RESIDUAL_CACHE)))
+            _RESIDUAL_CACHE[key] = residual
+
+    p0j = jnp.asarray(p0)
+    n_full = len(sep.lin) + len(sep.nl)
+    if p0j.shape != (n_full,):
+        raise ValueError(
+            f"p0 must be the FULL parameter vector of shape ({n_full},) "
+            f"for this separable model; got {p0j.shape}"
+        )
+    alpha0 = p0j[jnp.asarray(sep.nl)]
+    result = optimize(residual, alpha0, optimizer, **kwargs)
+    rec = assemble_minimizer(sep, weighted=weighted)
+    full = np.asarray(rec(jnp.asarray(result.minimizer), data))
+    return dataclasses.replace(result, minimizer=full)
+
+
 def curve_fit_batch(
     model,
     xdata,
@@ -188,6 +294,7 @@ def curve_fit_batch(
     loss="linear",
     f_scale: float = 1.0,
     gridded: bool = False,
+    separable: bool = False,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
@@ -202,9 +309,55 @@ def curve_fit_batch(
     via :func:`gridded_model` — valid only when ``xdata`` is a shared 1-d
     uniform grid (raises ValueError otherwise). Cuts the m per-sample
     exps to 3 exps + power tables per evaluation.
+
+    ``separable=True`` (opt-in) runs variable projection (VarPro, see
+    models/separable.py): the model's linear coefficients are eliminated
+    in closed form each evaluation and the outer NLLS runs on the
+    nonlinear parameters only — fewer, better-conditioned parameters and
+    immunity to wrong linear starts. ``model`` must be a name with a
+    :data:`~.separable.SEPARABLE` structure or a
+    :class:`~.separable.SeparableModel`; ``p0`` stays the FULL parameter
+    vector (the linear entries seed nothing — they are recomputed), and
+    the returned ``minimizer`` is the full vector with the optimal
+    coefficients filled in. Incompatible with bounds and robust losses.
+    The per-fit convergence criteria (x/f/g) and the returned
+    ``jacobian`` refer to the reduced (nonlinear-parameter) problem.
+    Composes with ``gridded=True`` for the exponential family.
     """
     gridded_name = model if gridded else None
-    model = _as_model(model)
+    sep = None
+    if separable:
+        from .separable import SEPARABLE, SeparableModel
+
+        if isinstance(model, SeparableModel):
+            if gridded:
+                raise ValueError(
+                    "gridded=True with a custom SeparableModel is not "
+                    "supported; build the basis with "
+                    "ops.special.make_exp_grid directly"
+                )
+            sep = model
+        elif isinstance(model, str) and model in SEPARABLE:
+            sep = SEPARABLE[model]
+        else:
+            raise ValueError(
+                "separable=True needs a SeparableModel or a named model "
+                f"with separable structure; supported names: "
+                f"{sorted(SEPARABLE)}"
+            )
+        if loss != "linear":
+            raise ValueError(
+                "separable=True requires loss='linear': VarPro eliminates "
+                "the coefficients in exact least squares (robust losses "
+                "would need IRLS)"
+            )
+        if lower is not None or upper is not None:
+            raise ValueError(
+                "separable=True does not support bounds (the eliminated "
+                "linear coefficients cannot be box-constrained)"
+            )
+    else:
+        model = _as_model(model)
     p0 = jnp.asarray(p0)
     xdata = jnp.asarray(xdata)
     ydata = jnp.asarray(ydata)
@@ -234,7 +387,12 @@ def curve_fit_batch(
             _np.diff(x_np), dt, rtol=0.0, atol=slack
         ):
             raise ValueError("gridded=True needs a uniformly spaced xdata")
-        model = gridded_model(gridded_name, float(x_np[0]), dt, m)
+        if sep is not None:
+            from .separable import gridded_separable
+
+            sep = gridded_separable(gridded_name, float(x_np[0]), dt, m)
+        else:
+            model = gridded_model(gridded_name, float(x_np[0]), dt, m)
     # A 1-d xdata (or weights) is *shared* across the batch: passed once
     # with a None vmap axis instead of materializing a broadcast (B, m)
     # copy that every model evaluation would re-read from HBM.
@@ -247,6 +405,31 @@ def curve_fit_batch(
         w_axis = None if weights.ndim == 1 else 0
         data = (xdata, ydata, weights)
         axes = (x_axis, 0, w_axis)
+
+    if sep is not None:
+        import jax
+
+        from .separable import assemble_minimizer, reduced_residual
+
+        n_full = len(sep.lin) + len(sep.nl)
+        if p0.shape[-1] != n_full:
+            raise ValueError(
+                f"p0 must carry the FULL parameter vector (n={n_full} for "
+                f"this separable model); got n={p0.shape[-1]}"
+            )
+        alpha0 = p0[..., jnp.asarray(sep.nl)]
+        weighted = weights is not None
+        raw = solve_batch(
+            reduced_residual(sep, weighted=weighted), alpha0, data,
+            optimizer, options=options, output_length=m,
+            data_axis=axes, min_converged_fraction=min_converged_fraction,
+        )
+        rec = assemble_minimizer(sep, weighted=weighted)
+        raw = dict(raw)
+        raw["minimizer"] = jax.vmap(rec, in_axes=(0, axes))(
+            raw["minimizer"], data
+        )
+        return raw
 
     def f(beta, d):
         if weights is None:

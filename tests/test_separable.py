@@ -1,0 +1,255 @@
+"""Variable projection (VarPro, models/separable.py; separable=True).
+
+Beyond-reference capability (the reference optimizes all parameters
+jointly, test/nonlinearfitting.jl): the linear coefficients are
+eliminated in closed form, the outer NLLS runs on the nonlinear
+parameters with the exact reduced Jacobian via autodiff through the
+coefficient solve. Gates: full-parameter minimizers match the naive
+joint fit, weighted/gridded composition, robustness to arbitrarily wrong
+linear starts, custom SeparableModel (2-term exponential sum), and the
+contract errors."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import leastsquaresoptim_jl_tpu as lso
+from leastsquaresoptim_jl_tpu.models import (
+    SEPARABLE,
+    SeparableModel,
+    curve_fit,
+    curve_fit_batch,
+)
+
+
+def _exp_sat_batch(B=24, m=50, seed=7, start_scale=(0.9, 1.1)):
+    rng = np.random.default_rng(seed)
+    xd = np.linspace(0.5, 12.0, m)
+    betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
+    Y = betas[:, :1] * (1.0 - np.exp(-betas[:, 1:2] * xd[None, :]))
+    p0 = betas * rng.uniform(*start_scale, betas.shape)
+    return xd, Y, betas, p0
+
+
+@pytest.mark.parametrize("name", ["exp_saturation", "exp_decay", "gaussian",
+                                  "michaelis_menten"])
+def test_separable_matches_naive_batched(name):
+    B, m = 16, 40
+    rng = np.random.default_rng(3)
+    xd = np.linspace(0.5, 10.0, m)
+    if name == "exp_saturation":
+        betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
+    elif name == "exp_decay":
+        betas = np.stack(
+            [rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B),
+             rng.uniform(0.5, 2, B)], 1
+        )
+    elif name == "gaussian":
+        betas = np.stack(
+            [rng.uniform(2, 5, B), rng.uniform(3, 7, B),
+             rng.uniform(0.8, 2.0, B)], 1
+        )
+    else:  # michaelis_menten
+        betas = np.stack([rng.uniform(2, 5, B), rng.uniform(1, 4, B)], 1)
+    model = lso.models.CURVES[name]
+    Y = np.asarray(
+        jax.vmap(lambda b: model(jnp.asarray(xd), b))(jnp.asarray(betas))
+    )
+    p0 = betas * rng.uniform(0.9, 1.1, betas.shape)
+    kw = dict(options=lso.Options(iterations=100))
+    rs = curve_fit_batch(name, xd, Y, p0, separable=True, **kw)
+    rn = curve_fit_batch(name, xd, Y, p0, **kw)
+    assert bool(jnp.all(rs["converged"]))
+    # the separable minimizer is the FULL parameter vector
+    assert rs["minimizer"].shape == betas.shape
+    assert np.allclose(np.asarray(rs["minimizer"]), betas, rtol=1e-6)
+    assert np.allclose(
+        np.asarray(rs["minimizer"]), np.asarray(rn["minimizer"]), rtol=1e-6
+    )
+
+
+def test_separable_immune_to_wrong_linear_start():
+    """The linear coefficient start is irrelevant under VarPro: a 1e6-x
+    wrong amplitude start converges in the same few iterations as a good
+    one (the joint fit must walk the amplitude in)."""
+    xd, Y, betas, p0 = _exp_sat_batch()
+    p_bad = p0.copy()
+    p_bad[:, 0] *= 1e6  # absurd linear start; nonlinear start unchanged
+    kw = dict(options=lso.Options(iterations=100))
+    r_good = curve_fit_batch("exp_saturation", xd, Y, p0, separable=True, **kw)
+    r_bad = curve_fit_batch(
+        "exp_saturation", xd, Y, p_bad, separable=True, **kw
+    )
+    assert bool(jnp.all(r_bad["converged"]))
+    assert np.allclose(np.asarray(r_bad["minimizer"]), betas, rtol=1e-6)
+    assert np.array_equal(
+        np.asarray(r_bad["iterations"]), np.asarray(r_good["iterations"])
+    )
+
+
+def test_separable_fewer_iterations_far_starts():
+    """From far joint starts (0.25-4x) VarPro's reduced problem converges
+    with at most the naive iteration count on every fit, strictly fewer
+    in aggregate (the classic VarPro payoff on exponential models)."""
+    rng = np.random.default_rng(11)
+    xd, Y, betas, _ = _exp_sat_batch(B=48, seed=11)
+    p0 = betas * np.exp(rng.uniform(np.log(0.25), np.log(4.0), betas.shape))
+    kw = dict(options=lso.Options(iterations=200))
+    rs = curve_fit_batch("exp_saturation", xd, Y, p0, separable=True, **kw)
+    rn = curve_fit_batch("exp_saturation", xd, Y, p0, **kw)
+    assert bool(jnp.all(rs["converged"]))
+    assert np.allclose(np.asarray(rs["minimizer"]), betas, rtol=1e-5)
+    it_s = np.asarray(rs["iterations"], np.int64)
+    it_n = np.asarray(rn["iterations"], np.int64)
+    assert it_s.sum() < it_n.sum(), (it_s.sum(), it_n.sum())
+
+
+def test_separable_weighted_matches_naive():
+    xd, Y, betas, p0 = _exp_sat_batch(B=12, seed=5)
+    rng = np.random.default_rng(6)
+    w = rng.uniform(0.5, 2.0, Y.shape)
+    kw = dict(options=lso.Options(iterations=100))
+    rs = curve_fit_batch(
+        "exp_saturation", xd, Y, p0, weights=w, separable=True, **kw
+    )
+    rn = curve_fit_batch("exp_saturation", xd, Y, p0, weights=w, **kw)
+    assert bool(jnp.all(rs["converged"]))
+    assert np.allclose(
+        np.asarray(rs["minimizer"]), np.asarray(rn["minimizer"]), rtol=1e-6
+    )
+    # noise-free data: weighted optimum is still the truth
+    assert np.allclose(np.asarray(rs["minimizer"]), betas, rtol=1e-6)
+
+
+def test_separable_gridded_composition():
+    """separable=True + gridded=True: the VarPro basis built on the
+    gridded-exp evaluator matches the naive joint fit."""
+    B, m = 16, 64
+    rng = np.random.default_rng(9)
+    xd = np.linspace(1.0, 80.0, m)
+    betas = np.stack([rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], 1)
+    Y = betas[:, :1] * (1.0 - np.exp(-betas[:, 1:2] * xd[None, :]))
+    p0 = betas * rng.uniform(0.8, 1.2, betas.shape)
+    kw = dict(options=lso.Options(iterations=100))
+    rs = curve_fit_batch(
+        "exp_saturation", xd, Y, p0, separable=True, gridded=True, **kw
+    )
+    rn = curve_fit_batch("exp_saturation", xd, Y, p0, **kw)
+    assert bool(jnp.all(rs["converged"]))
+    assert np.allclose(np.asarray(rs["minimizer"]), betas, rtol=1e-7)
+    assert np.allclose(
+        np.asarray(rs["minimizer"]), np.asarray(rn["minimizer"]), rtol=1e-7
+    )
+
+
+def test_separable_custom_two_term_exponential_sum():
+    """A user-declared SeparableModel: y = c1 e^{-a1 x} + c2 e^{-a2 x}
+    (the Lanczos class — the canonical VarPro workload)."""
+    m = 60
+    xd = np.linspace(0.0, 6.0, m)
+    true = np.array([2.0, 0.5, 5.0, 3.0])  # c1, a1, c2, a2 interleaved
+
+    sm = SeparableModel(
+        lin=(0, 2),
+        nl=(1, 3),
+        phi=lambda x, a: jnp.stack(
+            [jnp.exp(-a[0] * x), jnp.exp(-a[1] * x)], axis=-1
+        ),
+    )
+    Y = true[0] * np.exp(-true[1] * xd) + true[2] * np.exp(-true[3] * xd)
+    # linear starts deliberately terrible; rates ~30% off
+    p0 = np.array([100.0, 0.65, -7.0, 2.2])
+    r = curve_fit(sm, xd, Y, p0, separable=True, iterations=300)
+    assert r.converged
+    got = np.asarray(r.minimizer)
+    # exponential-sum label permutation: sort the (c, a) pairs by rate
+    pairs = sorted([(got[1], got[0]), (got[3], got[2])])
+    want = sorted([(true[1], true[0]), (true[3], true[2])])
+    assert np.allclose(np.asarray(pairs), np.asarray(want), rtol=1e-6)
+
+
+def test_separable_single_fit_result_surface():
+    """curve_fit(separable=True) returns an Optim-style result whose
+    minimizer is the full vector; repr prints; repeated calls hit the
+    residual cache (no error, same answer)."""
+    xd = np.linspace(0.5, 12.0, 40)
+    true = np.array([3.0, 0.4])
+    Y = true[0] * (1.0 - np.exp(-true[1] * xd))
+    r1 = curve_fit("exp_saturation", xd, Y, np.array([1.0, 0.2]),
+                   separable=True)
+    r2 = curve_fit("exp_saturation", xd, Y, np.array([1.0, 0.2]),
+                   separable=True)
+    assert r1.converged and r2.converged
+    assert np.allclose(r1.minimizer, true, rtol=1e-8)
+    assert np.allclose(r1.minimizer, r2.minimizer)
+    assert "Algorithm" in repr(r1)
+    assert r1.minimizer.shape == (2,)
+
+
+def test_separable_contract_errors():
+    xd = np.linspace(0.5, 12.0, 16)
+    Y = np.ones((4, 16))
+    p0 = np.ones((4, 2))
+    with pytest.raises(ValueError, match="separable structure"):
+        curve_fit_batch("nonsense_model", xd, Y, p0, separable=True)
+    with pytest.raises(ValueError, match="separable structure"):
+        curve_fit_batch(lambda x, b: b[0] * x, xd, Y, p0, separable=True)
+    with pytest.raises(ValueError, match="bounds"):
+        curve_fit_batch(
+            "exp_saturation", xd, Y, p0, separable=True,
+            lower=np.zeros(2),
+        )
+    with pytest.raises(ValueError, match="IRLS"):
+        curve_fit_batch(
+            "exp_saturation", xd, Y, p0, separable=True, loss="huber"
+        )
+    with pytest.raises(ValueError, match="FULL parameter"):
+        curve_fit_batch(
+            "exp_saturation", xd, Y, np.ones((4, 1)), separable=True
+        )
+    with pytest.raises(ValueError, match="custom SeparableModel"):
+        curve_fit_batch(
+            SEPARABLE["exp_saturation"], xd, Y, p0,
+            separable=True, gridded=True,
+        )
+    with pytest.raises(ValueError, match="partition"):
+        SeparableModel((0,), (2,), lambda x, a: x[:, None])
+    with pytest.raises(ValueError, match="bounds"):
+        curve_fit("exp_saturation", xd, Y[0], np.ones(2), separable=True,
+                  upper=np.full(2, 10.0))
+
+
+def test_separable_degenerate_basis_value_finite():
+    """At alpha where the basis vanishes (exp_saturation, a=0: phi == 0)
+    the ridge floor keeps the reduced residual finite and equal to y
+    (coefficients fade to zero, no 0/0)."""
+    from leastsquaresoptim_jl_tpu.models.separable import reduced_residual
+
+    m = 8
+    xd = jnp.linspace(1.0, 4.0, m)
+    yd = jnp.linspace(1.0, 2.0, m)
+    f = reduced_residual(SEPARABLE["exp_saturation"], weighted=False)
+    r = f(jnp.zeros(1), (xd, yd))
+    assert bool(jnp.all(jnp.isfinite(r)))
+    assert np.allclose(np.asarray(r), np.asarray(yd))
+
+
+def test_separable_fraction_stop_and_dogleg():
+    """The fraction-stop batched loop and the Dogleg optimizer both
+    compose with the separable path."""
+    xd, Y, betas, p0 = _exp_sat_batch(B=32, seed=13)
+    r = curve_fit_batch(
+        "exp_saturation", xd, Y, p0, separable=True,
+        min_converged_fraction=1.0, options=lso.Options(iterations=100),
+    )
+    assert bool(jnp.all(r["converged"]))
+    assert np.allclose(np.asarray(r["minimizer"]), betas, rtol=1e-6)
+    rd = curve_fit_batch(
+        "exp_saturation", xd, Y, p0,
+        optimizer=lso.Dogleg(lso.Cholesky()), separable=True,
+        options=lso.Options(iterations=100),
+    )
+    assert bool(jnp.all(rd["converged"]))
+    assert np.allclose(np.asarray(rd["minimizer"]), betas, rtol=1e-6)
