@@ -359,6 +359,7 @@ def curve_fit_batch(
     else:
         model = _as_model(model)
     p0 = jnp.asarray(p0)
+    x_user = xdata  # pre-conversion: grid validation must see concrete values
     xdata = jnp.asarray(xdata)
     ydata = jnp.asarray(ydata)
     m = ydata.shape[-1]
@@ -369,7 +370,18 @@ def curve_fit_batch(
             raise ValueError("gridded=True needs a shared 1-d xdata grid")
         import numpy as _np
 
-        x_np = _np.asarray(xdata, _np.float64)
+        # Validate on the USER's array, not the jnp conversion: inside a
+        # jit trace jnp.asarray wraps even a concrete numpy grid in a
+        # tracer, which cannot be read back — the grid parameters (t0, dt)
+        # are static by design (baked into the compiled evaluator).
+        try:
+            x_np = _np.asarray(x_user, _np.float64)
+        except Exception as exc:
+            raise ValueError(
+                "gridded=True needs a concrete xdata grid (its t0/dt are "
+                "compile-time constants); pass the numpy grid itself, not "
+                "a traced array"
+            ) from exc
         if m < 2 or x_np.shape[0] != m:
             raise ValueError("gridded=True needs xdata of length m >= 2")
         # Best uniform spacing from the endpoints (the first gap alone
@@ -377,9 +389,13 @@ def curve_fit_batch(
         # with the dtype the grid is stored in: an exactly-uniform grid
         # quantized to f32 shows per-gap deviations ~ eps32 * max|x|.
         dt = float(x_np[-1] - x_np[0]) / (m - 1)
+        # Quantization slack scales with the dtype the user STORED the
+        # grid in (the jnp conversion may differ under disabled x64).
+        src_dtype = getattr(x_user, "dtype", None)
         eps = (
-            _np.finfo(xdata.dtype).eps
-            if _np.issubdtype(xdata.dtype, _np.floating)
+            _np.finfo(src_dtype).eps
+            if src_dtype is not None
+            and _np.issubdtype(src_dtype, _np.floating)
             else _np.finfo(_np.float64).eps
         )
         slack = 8.0 * eps * max(float(_np.max(_np.abs(x_np))), abs(dt))

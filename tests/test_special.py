@@ -118,6 +118,36 @@ def test_curve_fit_batch_gridded_accepts_f32_grid():
     assert rel < 1e-4, rel
 
 
+def test_curve_fit_batch_gridded_composes_with_jit():
+    """gridded=True works under an outer jax.jit when the grid itself is
+    concrete (t0/dt are compile-time constants): validation must read the
+    USER's array, not the traced jnp conversion. A traced grid raises the
+    contract error."""
+    from leastsquaresoptim_jl_tpu.models import curve_fit_batch
+
+    B, m = 8, 32
+    rng = np.random.default_rng(4)
+    xd = np.linspace(0.5, 12.0, m)
+    betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
+    Y = betas[:, :1] * (1.0 - np.exp(-betas[:, 1:2] * xd[None, :]))
+    p0 = jnp.asarray(betas * 1.05)
+
+    @jax.jit
+    def fit(p0j, yj):
+        return curve_fit_batch("exp_saturation", xd, yj, p0j, gridded=True)
+
+    raw = fit(p0, jnp.asarray(Y))
+    assert bool(jnp.all(raw["converged"]))
+    assert np.allclose(np.asarray(raw["minimizer"]), betas, rtol=1e-6)
+
+    @jax.jit
+    def fit_traced_grid(xj, p0j, yj):
+        return curve_fit_batch("exp_saturation", xj, yj, p0j, gridded=True)
+
+    with pytest.raises(ValueError, match="concrete"):
+        fit_traced_grid(jnp.asarray(xd), p0, jnp.asarray(Y))
+
+
 def test_gridded_logistic_rejected():
     """The logistic is deliberately unsupported: its parameter-dependent
     exp offset makes the scalar-prefactor-times-table factorization
