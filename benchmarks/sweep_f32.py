@@ -7,6 +7,12 @@ NIST StRD 16 datasets x 2 certified starts x {Dogleg, LM} at the reference
 criterion ||x - x*|| <= 1e-3 absolute
 (/root/reference/test/nonlinearfitting.jl:1466).
 
+Stage 1 also runs a pure-f32 **variable projection** row (separable=True,
+models/separable.py) for the 14 NIST models with linear coefficients, under
+the reference forcing protocol: the reduced problem's conditioning closes
+most of the f32 representation-limited misses with no f64 stage, and a
+decisively-better VarPro basin seeds the polish.
+
 Stage 2 (subprocess with x64 ON, still on the TPU): the mixed-precision
 finish — ``lso.polish`` runs a short f64 refinement from each f32 minimizer.
 Certified-accuracy absolute 1e-3 on parameters of scale 1e3 (Thurber,
@@ -42,8 +48,13 @@ def _stage_f32(out_path, cpu=False):
     import jax.numpy as jnp
 
     import leastsquaresoptim_jl_tpu as lso
+    from leastsquaresoptim_jl_tpu.models.curves import curve_fit
     from leastsquaresoptim_jl_tpu.models.minpack import full_suite
-    from leastsquaresoptim_jl_tpu.models.nist import DATASETS, MODELS
+    from leastsquaresoptim_jl_tpu.models.nist import (
+        DATASETS,
+        MODELS,
+        NIST_SEPARABLE,
+    )
 
     assert not jax.config.jax_enable_x64, "stage 1 must be pure f32"
     results = {"minpack": [], "nist": []}
@@ -171,6 +182,41 @@ def _stage_f32(out_path, cpu=False):
                 row["rel_err_escaped"] = float(
                     np.max(np.abs(xe - sol) / np.maximum(np.abs(sol), 1e-30))
                 )
+                row["ssr"] = float(r.ssr)
+                row["ssr_escape_best"] = best_ssr
+                # Variable projection (models/separable.py): for the 14
+                # NIST models with linear coefficients, solve the reduced
+                # (nonlinear-parameters-only) problem from the same start,
+                # under the same forcing protocol the f64 scoreboard and
+                # the polish stage use (reference
+                # test/nonlinearfitting.jl:1465). The reduced problem is
+                # far better conditioned in f32: it closes the
+                # Bennett5/Eckerle4-class "representation-limited" misses
+                # in pure f32 (measured, benchmarks/README.md).
+                sm = NIST_SEPARABLE.get(name)
+                if sm is not None:
+                    try:
+                        rv = curve_fit(
+                            sm, xdata, ydata,
+                            jnp.asarray(start, jnp.float32),
+                            separable=True, optimizer=opt,
+                            iterations=3000,
+                            x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+                        )
+                        xv = np.asarray(rv.minimizer, np.float64)
+                        row["minimizer_varpro"] = xv.tolist()
+                        row["ssr_varpro"] = float(rv.ssr)
+                        row["err_varpro"] = float(np.linalg.norm(xv - sol))
+                        row["rel_err_varpro"] = float(
+                            np.max(
+                                np.abs(xv - sol)
+                                / np.maximum(np.abs(sol), 1e-30)
+                            )
+                        )
+                    except lso.IsFiniteError:
+                        # non-finite iterate (e.g. MGH10 far start under
+                        # LM): the varpro row is simply absent
+                        pass
                 results["nist"].append(row)
 
     with open(out_path, "w") as fh:
@@ -232,8 +278,20 @@ def _stage_polish(in_path, out_path, cpu=False):
             # Polish from the escaped minimizer when the automatic escape
             # ran and found a better basin (this is what closes the
             # BoxBOD-class basin misses with no hand-run recipe — the f64
-            # polish cannot leave a wrong basin on its own).
+            # polish cannot leave a wrong basin on its own). If the f32
+            # VarPro run found a *decisively* better basin than both (same
+            # 2x ssr rule — a rounding-level win can be a permutation
+            # relabeling on multi-Gaussian models), seed from it instead.
             seed = row.get("minimizer_escaped", row["minimizer"])
+            ssr_j = row.get("ssr", np.inf)
+            ssr_v = row.get("ssr_varpro")
+            if (
+                ssr_v is not None
+                and np.isfinite(ssr_v)
+                and ssr_v < 0.5 * ssr_j
+                and ssr_v < row.get("ssr_escape_best", np.inf)
+            ):
+                seed = row["minimizer_varpro"]
             r = lso.optimize_problem(
                 p, x0=jnp.asarray(seed, jnp.float64), **extreme
             )
@@ -316,6 +374,31 @@ def _report(results):
                 }
             )
         )
+        # Variable-projection scoreboard (pure f32, reference forcing
+        # protocol) over the 14 separable NIST models — the reduced
+        # problem's conditioning closes most of the f32
+        # "representation-limited" misses without any f64 stage.
+        vp = [r for r in rows if "rel_err_varpro" in r]
+        if vp:
+            n_vp = sum(r["rel_err_varpro"] <= NIST_X_TOL for r in vp)
+            n_rows_vp = sum(
+                1 for r in rows
+                if r["dataset"] in {v["dataset"] for v in vp}
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": f"nist_f32_rel_varpro_{opt}",
+                        "value": n_vp,
+                        "unit": (
+                            f"of {n_rows_vp} separable-model runs at max "
+                            "rel err <= 1e-3 (pure f32 VarPro, reference "
+                            "forcing tolerances)"
+                        ),
+                        "vs_baseline": round(n_vp / n_rows_vp, 4),
+                    }
+                )
+            )
         if any("ok_polished" in r for r in rows):
             print(
                 json.dumps(

@@ -14,6 +14,7 @@ from .curves import CURVES, curve_fit, curve_fit_batch, gridded_model
 from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
+from .nist import NIST_SEPARABLE
 from .separable import SEPARABLE, SeparableModel, gridded_separable
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "cholesky_suite",
     "NIST_DATASETS",
     "NIST_MODELS",
+    "NIST_SEPARABLE",
 ]
