@@ -40,7 +40,7 @@ MINPACK_SSR_TOL = 1e-3
 NIST_X_TOL = 1e-3
 
 
-def _stage_f32(out_path, cpu=False):
+def _stage_f32(out_path, cpu=False, only=None):
     import jax
 
     if cpu:
@@ -60,6 +60,8 @@ def _stage_f32(out_path, cpu=False):
     results = {"minpack": [], "nist": []}
 
     for opt_name, opt in (("dl", lso.Dogleg()), ("lm", lso.LevenbergMarquardt())):
+        if only is not None:
+            break  # --only is a NIST-dataset debug filter; skip MINPACK
         for name, f, x0, jac in full_suite():
             r = lso.optimize(f, jnp.asarray(x0, jnp.float32), opt)
             results["minpack"].append(
@@ -76,6 +78,8 @@ def _stage_f32(out_path, cpu=False):
 
     for opt_name, opt in (("dl", lso.Dogleg()), ("lm", lso.LevenbergMarquardt())):
         for name, d in DATASETS.items():
+            if only is not None and name != only:
+                continue
             model = MODELS[name]
             xdata = jnp.asarray(d["x"], jnp.float32)
             ydata = jnp.asarray(d["y"], jnp.float32)
@@ -195,17 +199,39 @@ def _stage_f32(out_path, cpu=False):
                 # in pure f32 (measured, benchmarks/README.md).
                 sm = NIST_SEPARABLE.get(name)
                 if sm is not None:
-                    try:
-                        rv = curve_fit(
-                            sm, xdata, ydata,
-                            jnp.asarray(start, jnp.float32),
-                            separable=True, optimizer=opt,
-                            iterations=3000,
-                            x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
-                        )
-                        xv = np.asarray(rv.minimizer, np.float64)
+                    def run_varpro(seed):
+                        try:
+                            rv = curve_fit(
+                                sm, xdata, ydata,
+                                jnp.asarray(seed, jnp.float32),
+                                separable=True, optimizer=opt,
+                                iterations=3000,
+                                x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+                            )
+                            return (
+                                np.asarray(rv.minimizer, np.float64),
+                                float(rv.ssr),
+                            )
+                        except lso.IsFiniteError:
+                            # non-finite iterate (e.g. MGH10 far start
+                            # under LM from the certified start)
+                            return None, np.inf
+
+                    xv, sv = run_varpro(start)
+                    # Basin escalation for the VarPro route: when the
+                    # joint multistart found a decisively better basin
+                    # (xe above), a pure-f32 VarPro run seeded there
+                    # turns the basin rescue into a *certifiable* f32
+                    # fit — this is what closes the MGH10-s0-class
+                    # far-start misses without any f64 stage. Keep the
+                    # better of the two by VarPro ssr (solution-blind).
+                    if xe is not xhat:
+                        xv2, sv2 = run_varpro(xe)
+                        if sv2 < sv:
+                            xv, sv = xv2, sv2
+                    if xv is not None:
                         row["minimizer_varpro"] = xv.tolist()
-                        row["ssr_varpro"] = float(rv.ssr)
+                        row["ssr_varpro"] = sv
                         row["err_varpro"] = float(np.linalg.norm(xv - sol))
                         row["rel_err_varpro"] = float(
                             np.max(
@@ -213,10 +239,6 @@ def _stage_f32(out_path, cpu=False):
                                 / np.maximum(np.abs(sol), 1e-30)
                             )
                         )
-                    except lso.IsFiniteError:
-                        # non-finite iterate (e.g. MGH10 far start under
-                        # LM): the varpro row is simply absent
-                        pass
                 results["nist"].append(row)
 
     with open(out_path, "w") as fh:
@@ -305,16 +327,19 @@ def _stage_polish(in_path, out_path, cpu=False):
 
 def _report(results):
     mp = results["minpack"]
-    print(
-        json.dumps(
-            {
-                "metric": "minpack_f32_onchip_pass",
-                "value": sum(r["ok"] for r in mp),
-                "unit": f"of {len(mp)} instances at ssr<=1e-3 (pure f32)",
-                "vs_baseline": round(sum(r["ok"] for r in mp) / len(mp), 4),
-            }
+    if mp:  # empty under the --only debug filter
+        print(
+            json.dumps(
+                {
+                    "metric": "minpack_f32_onchip_pass",
+                    "value": sum(r["ok"] for r in mp),
+                    "unit": f"of {len(mp)} instances at ssr<=1e-3 (pure f32)",
+                    "vs_baseline": round(
+                        sum(r["ok"] for r in mp) / len(mp), 4
+                    ),
+                }
+            )
         )
-    )
     if any("ok_polished" in r for r in mp):
         print(
             json.dumps(
@@ -437,9 +462,17 @@ def main():
     # force-registers the TPU plugin regardless of JAX_PLATFORMS). The
     # official scoreboards run on the chip.
     cpu = "--cpu" in sys.argv
-    argv = [a for a in sys.argv if a != "--cpu"]
+    # --only=NAME: debug filter — run a single NIST dataset through
+    # stage 1 (skips MINPACK); not part of the official scoreboards.
+    only = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")),
+        None,
+    )
+    argv = [
+        a for a in sys.argv if a != "--cpu" and not a.startswith("--only=")
+    ]
     if len(argv) > 1 and argv[1] == "--stage-f32":
-        _stage_f32(argv[2], cpu=cpu)
+        _stage_f32(argv[2], cpu=cpu, only=only)
         return
     if len(argv) > 1 and argv[1] == "--stage-polish":
         _stage_polish(argv[2], argv[3], cpu=cpu)
@@ -450,6 +483,8 @@ def main():
     polished_path = os.path.join(tmp, "polished.json")
     here = os.path.abspath(__file__)
     extra = ["--cpu"] if cpu else []
+    if only is not None:
+        extra.append(f"--only={only}")
     # Two processes: x64 is a process-global flag, and the f32 stage must
     # not see it (under x64 every Python-float constant inside residual
     # closures silently promotes the whole computation to f64).
