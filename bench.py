@@ -35,6 +35,7 @@ parameter noise floor is ~0.2-1% relative.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -96,19 +97,25 @@ def main():
     # 2026-08-17). A healthy chip warms up in <2 min even with the remote
     # compile; 20 min without progress means the backend is unreachable —
     # exit loudly with NO metric line rather than hang the driver or
-    # fabricate a number.
-    import signal
+    # fabricate a number. A SIGALRM Python handler is NOT enough: the
+    # wedge blocks inside a native tunnel call that never returns to the
+    # bytecode loop, so the handler never runs (measured 2026-08-18: a
+    # 25-min hang sailed straight past the alarm). A daemon thread with
+    # os._exit() preempts regardless of what the main thread is stuck in.
+    import threading
 
-    def _watchdog(signum, frame):
+    def _watchdog():
         print(
             "bench.py watchdog: TPU backend unreachable for 20 min "
             "(axon tunnel wedged?) — aborting without a metric",
             file=sys.stderr,
         )
-        sys.exit(2)
+        sys.stderr.flush()
+        os._exit(2)
 
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(1200)
+    _timer = threading.Timer(1200.0, _watchdog)
+    _timer.daemon = True
+    _timer.start()
 
     import jax
     import jax.numpy as jnp
@@ -183,7 +190,7 @@ def main():
     run = jax.jit(run_batches)
 
     np.asarray(run(x0j, data)[1])  # warmup/compile
-    signal.alarm(0)  # backend + compile proven live; timing runs unguarded
+    _timer.cancel()  # backend + compile proven live; timing runs unguarded
     reps = 4
     runs = []
     for i in range(reps):

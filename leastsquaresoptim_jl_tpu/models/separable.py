@@ -18,12 +18,17 @@ TPU-native design notes:
     through the closed-form solve yields the **exact** VarPro Jacobian
     (not the Kaufman approximation), with XLA CSE sharing the basis
     evaluation between the primal and the tangents.
-  * The ``p x p`` coefficient solve reuses the batched-safe unrolled
-    Cholesky (ops/linalg.py): under ``vmap`` it is pure VPU scalar-vector
-    work, no batched-linalg kernels. A spectrally-scaled ridge
-    (``eps * trace(G)/p``) keeps a degenerate basis (e.g. ``phi -> 0`` at
-    pathological ``alpha``) finite: coefficients fade to zero instead of
-    NaN-poisoning the solve.
+  * The coefficient solve is batched-safe VPU scalar-vector work (no
+    batched-linalg kernels under ``vmap``): an unrolled MGS QR when the
+    basis survives a scale-invariant conditioning test (error
+    ~eps*cond(P) — decisive in f32 on the collinear exponential-sum
+    bases VarPro exists for), falling back to ridged normal equations +
+    the unrolled Cholesky (ops/linalg.py) whose spectrally-scaled ridge
+    keeps a degenerate basis (``phi -> 0`` at pathological ``alpha``)
+    finite: coefficients fade to zero instead of NaN-poisoning the
+    solve. The route test runs on a stop_gradient pass and the
+    differentiated QR on a sanitized basis, so the select is safe
+    under both jacfwd and jacrev even at a vanishing basis.
   * Composes with the gridded-exp evaluator (ops/special.py) for
     exponential bases on uniform sample grids.
 
@@ -39,6 +44,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.linalg import spd_chol_solve
@@ -144,19 +150,141 @@ def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel
     return SeparableModel(base.lin, base.nl, phi)
 
 
-def _solve_coefficients(P, y):
-    """Optimal linear coefficients ``argmin_c ||P c - y||`` for a small
-    (m, p) basis: normal equations + the batched-safe unrolled Cholesky.
-    A spectrally-scaled ridge (eps * mean diagonal of G, plus the dtype
-    tiny) keeps a degenerate basis finite — coefficients fade to zero
-    where the columns vanish, instead of 0/0 NaN. The eps-relative bias
-    on c is below the dtype's own dot-product rounding (~sqrt(m)*eps)."""
+def _mgs_solve_clamped(P, y, floor2):
+    """Least-squares ``argmin_c ||P c - y||`` via unrolled MGS QR with
+    every R-diagonal division floored: ``R_jj = sqrt(||v||^2 + floor2)``.
+
+    A VarPro-local variant of ``ops.linalg.unrolled_mgs_solve``. There, a
+    degenerate column surfaces as NaN by design (solver/qr.py treats it
+    as a signal); here the solve sits INSIDE the reduced residual that
+    the outer optimizer differentiates, so a degenerate basis must stay
+    finite all the way through — an inf/NaN primal or partial would
+    poison the ``jnp.where`` fallback's reverse-mode cotangents
+    (0 * inf = NaN through the unselected branch). The smooth floor also
+    bounds d(sqrt)/dv at v = 0. Returns ``(c, rdiag2)`` with the
+    *unfloored* squared R-diagonal for the caller's survival test."""
+    n = P.shape[-1]
+    q = []
+    R = [[None] * n for _ in range(n)]
+    rdiag2 = []
+    for j in range(n):
+        v = P[..., :, j]
+        for i in range(j):
+            R[i][j] = jnp.sum(q[i] * v, axis=-1)
+            v = v - R[i][j][..., None] * q[i]
+        for i in range(j):  # reorthogonalization ("twice is enough")
+            c = jnp.sum(q[i] * v, axis=-1)
+            R[i][j] = R[i][j] + c
+            v = v - c[..., None] * q[i]
+        s2 = jnp.sum(v * v, axis=-1)
+        rdiag2.append(s2)
+        R[j][j] = jnp.sqrt(s2 + floor2)
+        q.append(v / R[j][j][..., None])
+    bb = y
+    z = []
+    for j in range(n):  # progressive rhs deflation
+        zj = jnp.sum(q[j] * bb, axis=-1)
+        z.append(zj)
+        bb = bb - zj[..., None] * q[j]
+    x = [None] * n
+    for j in reversed(range(n)):
+        s = z[j]
+        for k in range(j + 1, n):
+            s = s - R[j][k] * x[k]
+        x[j] = s / R[j][j]
+    # bb is the deflated rhs y - Q Q'y == the least-squares residual,
+    # computed WITHOUT the y - P@c cancellation (see reduced_residual).
+    return jnp.stack(x, axis=-1), jnp.stack(rdiag2, axis=-1), bb
+
+
+def _coefficients_and_residual(P, y):
+    """Optimal linear coefficients ``c = argmin_c ||P c - y||`` AND the
+    least-squares residual ``y - P c`` for a small (m, p) basis.
+
+    Two routes, chosen per evaluation point by a scale-invariant
+    survival test (cf. solver/qr.py):
+
+      * **MGS QR** (error ~eps*cond(P)) when every orthogonalized column
+        keeps at least ~10*p*eps of its original norm. On the collinear
+        bases VarPro exists for (Lanczos-class exponential sums, rational
+        denominators) the normal equations square the conditioning —
+        forming G = P'P costs the very digits the reduced
+        parameterization was supposed to save in f32. On this route the
+        residual is the progressively-deflated rhs ``y - Q Q'y`` itself:
+        no ``y - P @ c`` cancellation (which re-loses ~eps*cond digits
+        even when c is accurate).
+      * **Ridged normal equations** + the batched-safe unrolled Cholesky
+        otherwise: a spectrally-scaled ridge (eps * mean diagonal of G,
+        plus the dtype tiny) keeps a fully degenerate basis finite —
+        coefficients fade to zero where the columns vanish, instead of
+        0/0 NaN. The eps-relative bias on c is below the dtype's own
+        dot-product rounding (~sqrt(m)*eps).
+
+    The route test runs on a ``stop_gradient`` primal-only pass, and the
+    differentiated QR runs on a *sanitized* input (``P`` replaced by an
+    orthonormal basis wherever the QR route is not selected). Without
+    that, a vanishing basis makes the floored ``R_jj`` denormal
+    (~``sqrt(tiny*eps)``) and the tangents ``dv/R_jj`` overflow —
+    ``inf - inf = NaN`` poisons jacfwd through the *unselected* branch
+    even though the primal select is clean.
+
+    A third, outermost select handles the *numerically dead* basis
+    (mean squared column norm below ``tiny/eps^2``): there the ridge is
+    dominated by ``tiny`` and even the safe route's derivative
+    ``dc ~ db/ridge`` overflows (then ``P @ dc = 0 * inf = NaN``). The
+    dead region returns ``c = 0, r = y`` with zero derivative — the
+    exact limit of the ridged solve as the basis scale goes to 0 — and
+    every differentiated solve runs on a sanitized (orthonormal)
+    basis."""
     p = P.shape[-1]
+    eps = jnp.finfo(P.dtype).eps
+    tiny = jnp.finfo(P.dtype).tiny
+    eye = jnp.eye(P.shape[-2], p, dtype=P.dtype)
+    scale2_raw = jnp.mean(jnp.sum(P * P, axis=-2), axis=-1)
+    # Dead test: below this, ridge ~ tiny and 1/sqrt(ridge) overflows
+    # downstream products; above it, eps*scale2 dominates and every
+    # derivative stays finite (1/sqrt(tiny/eps) is comfortably inside
+    # the dtype range).
+    alive = jax.lax.stop_gradient(scale2_raw) > tiny / (eps * eps)
+    P = jnp.where(alive[..., None, None], P, eye)
     G = P.T @ P
     b = P.T @ y
-    eps = jnp.finfo(P.dtype).eps
-    ridge = eps * (jnp.trace(G) / p) + jnp.finfo(P.dtype).tiny
-    return spd_chol_solve(G + ridge * jnp.eye(p, dtype=P.dtype), b)
+    ridge = eps * (jnp.trace(G) / p) + tiny
+    c_safe = spd_chol_solve(G + ridge * jnp.eye(p, dtype=P.dtype), b)
+    r_safe = y - jnp.einsum("...mp,...p->...m", P, c_safe)
+    if p > 8:  # no unrolled QR past the VPU-unroll regime; curve-model
+        zero = jnp.zeros_like(c_safe)  # bases are p <= 4 today
+        return (jnp.where(alive[..., None], c_safe, zero),
+                jnp.where(alive[..., None], r_safe, y))
+    scale2 = jnp.trace(G) / p  # mean squared column norm
+    floor2 = (eps * scale2 + tiny) * eps  # ~ (eps * colnorm)^2
+    # Pass 1 (stop_gradient): route test on the true basis. No tangents
+    # flow, so a degenerate basis cannot overflow any derivative here.
+    Pg = jax.lax.stop_gradient(P)
+    c_probe, rdiag2, r_probe = _mgs_solve_clamped(
+        Pg, jax.lax.stop_gradient(y), jax.lax.stop_gradient(floor2))
+    # Survival in squared form (no sqrt-at-zero in the backward pass):
+    # column j survives if ||v_j||^2 > (10 p eps)^2 * ||P_j||^2.
+    thr2 = (10.0 * p * eps) ** 2
+    colnorm2 = jnp.sum(Pg * Pg, axis=-2)
+    survive = jnp.all(rdiag2 > thr2 * colnorm2, axis=-1)
+    ok = (survive
+          & jnp.all(jnp.isfinite(c_probe), axis=-1)
+          & jnp.all(jnp.isfinite(r_probe), axis=-1))
+    # Pass 2 (differentiated): QR on the sanitized basis — orthonormal
+    # columns wherever the QR route is not selected, so every primal AND
+    # partial in the unselected branch is finite and moderate.
+    P_in = jnp.where(ok[..., None, None], P, eye)
+    f2_in = jnp.where(ok, floor2, eps * eps)
+    c_qr, _, r_qr = _mgs_solve_clamped(P_in, y, f2_in)
+    c = jnp.where(ok[..., None], c_qr, c_safe)
+    r = jnp.where(ok[..., None], r_qr, r_safe)
+    return (jnp.where(alive[..., None], c, jnp.zeros_like(c)),
+            jnp.where(alive[..., None], r, y))
+
+
+def _solve_coefficients(P, y):
+    return _coefficients_and_residual(P, y)[0]
 
 
 def reduced_residual(sm: SeparableModel, *, weighted: bool) -> Callable:
@@ -175,8 +303,7 @@ def reduced_residual(sm: SeparableModel, *, weighted: bool) -> Callable:
             xd, yd = d
             P = sm.phi(xd, alpha)
             y = yd
-        c = _solve_coefficients(P, y)
-        return y - P @ c
+        return _coefficients_and_residual(P, y)[1]
 
     return f
 

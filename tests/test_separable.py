@@ -266,6 +266,56 @@ def test_nist_varpro_scoreboard(opt_name):
         assert ("MGH10", 0) not in misses
 
 
+def test_separable_coefficient_solve_qr_accuracy():
+    """The coefficient solve takes the MGS-QR route on ill-conditioned
+    (but surviving) bases: error ~eps*cond(P), not the normal equations'
+    ~eps*cond(P)^2. Gate in f32 against an f64 lstsq oracle on a
+    Lanczos-class collinear 3-exponential basis (cond ~ 1e4: QR keeps
+    ~3 digits where the squared Gram has none)."""
+    from leastsquaresoptim_jl_tpu.models.separable import _solve_coefficients
+
+    m = 24
+    xd64 = np.linspace(0.0, 1.15, m)
+    rates = np.array([2.70, 2.95, 3.20])  # deliberately close decay rates
+    P64 = np.exp(-xd64[:, None] * rates[None, :])
+    c_true = np.array([0.9, -1.4, 1.1])
+    y64 = P64 @ c_true
+    cond = np.linalg.cond(P64)
+    assert 1e3 < cond < 1e6  # the regime the QR route exists for
+
+    c32 = np.asarray(
+        _solve_coefficients(
+            jnp.asarray(P64, jnp.float32), jnp.asarray(y64, jnp.float32)
+        ),
+        np.float64,
+    )
+    c_oracle = np.linalg.lstsq(P64, y64, rcond=None)[0]
+    rel = np.max(np.abs(c32 - c_oracle) / np.abs(c_oracle))
+    # eps32*cond ~ 1e-3; eps32*cond^2 ~ 10 (no digits). Gate between.
+    assert rel < 3e-2, (rel, cond)
+
+    # batched-safe: vmap over a stack of bases matches per-row solves
+    Pb = jnp.stack([jnp.asarray(P64, jnp.float32)] * 3)
+    yb = jnp.stack([jnp.asarray(y64, jnp.float32)] * 3)
+    cb = jax.vmap(_solve_coefficients)(Pb, yb)
+    assert np.allclose(np.asarray(cb), c32, atol=0)
+
+
+def test_separable_degenerate_basis_gradient_finite():
+    """jacfwd AND jacrev of the reduced residual are finite at an alpha
+    where the basis vanishes (the QR route's floored divisions must not
+    leak NaN through the unselected jnp.where branch in either mode)."""
+    from leastsquaresoptim_jl_tpu.models.separable import reduced_residual
+
+    m = 8
+    xd = jnp.linspace(1.0, 4.0, m)
+    yd = jnp.linspace(1.0, 2.0, m)
+    f = reduced_residual(SEPARABLE["exp_saturation"], weighted=False)
+    for jac in (jax.jacfwd, jax.jacrev):
+        J = jac(lambda a: f(a, (xd, yd)))(jnp.zeros(1))
+        assert bool(jnp.all(jnp.isfinite(J))), jac
+
+
 def test_separable_degenerate_basis_value_finite():
     """At alpha where the basis vanishes (exp_saturation, a=0: phi == 0)
     the ridge floor keeps the reduced residual finite and equal to y
