@@ -75,7 +75,11 @@ def solve(
     if fused is None:
         fused = False
     if isinstance(optimizer, LevenbergMarquardt):
-        loop = _lm.optimize_loop
+        # geodesic acceleration is an LM tag field (optimizer/base.py)
+        return _lm.optimize_loop(
+            problem, optimizer.solver, options, lower, upper, x0,
+            batched, fused, optimizer.geodesic,
+        )
     elif isinstance(optimizer, Dogleg):
         loop = _dogleg.optimize_loop
     else:

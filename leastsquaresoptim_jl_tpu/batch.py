@@ -181,10 +181,16 @@ def _solve_batch_fraction(
     if fused is None:
         fused = False  # same default as api.solve (measured; see there)
 
+    extra = (
+        dict(geodesic=optimizer.geodesic)
+        if isinstance(optimizer, LevenbergMarquardt)
+        else {}
+    )
+
     def pieces(x0, data):
         return pieces_mod.loop_pieces(
             problem_for(x0, data), optimizer.solver, opts,
-            lower, upper, x0, batched=True, fused=fused,
+            lower, upper, x0, batched=True, fused=fused, **extra,
         )
 
     if data_batch is None:

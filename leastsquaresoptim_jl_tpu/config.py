@@ -71,6 +71,13 @@ def default_tolerances(dtype):
 DEFAULT_RADIUS_LM = 10.0
 DEFAULT_RADIUS_DOGLEG = 1.0
 
+# Geodesic acceleration (LevenbergMarquardt(geodesic=True); no reference
+# analogue — Transtrum & Sethna 2012). The second-order correction is
+# added only when ||a|| <= GEODESIC_ALPHA * ||v||; beyond that the local
+# quadratic model is untrustworthy and the plain first-order step is
+# kept (the standard avmax guard, e.g. GSL multifit_nlinear's 0.75).
+GEODESIC_ALPHA = 0.75
+
 # LSMR defaults (reference: src/utils/lsmr.jl:53-55) and the deliberately
 # inexact inner tolerance used for damped LM solves
 # (reference: src/solver/iterative_lsmr.jl:255, per Wright & Holt 1985).

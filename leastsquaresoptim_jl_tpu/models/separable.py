@@ -42,7 +42,7 @@ Entry points: ``curve_fit(..., separable=True)`` and
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,11 +63,23 @@ class SeparableModel:
     ``alpha``. Users declare custom separable models by passing an
     instance as the ``model`` argument of curve_fit / curve_fit_batch
     with ``separable=True``.
+
+    ``canonical`` (optional) maps an assembled full ``beta`` to the
+    canonical representative of the model's *exact* symmetry group —
+    e.g. a basis odd in some alpha component (``phi(-w) = -phi(w)``,
+    absorbed by the linear coefficient's sign) or permutable basis terms
+    (exponential sums, multi-Gaussian bumps). VarPro is free to land on
+    any representative (the reduced residual is symmetry-invariant), so
+    without canonicalization a model-identical fit can sit arbitrarily
+    far from the certified parameter vector. Must be a pure jnp function
+    of a 1-D beta (vmapped for batches); applied to the minimizer by
+    curve_fit / curve_fit_batch after assembly.
     """
 
     lin: Tuple[int, ...]
     nl: Tuple[int, ...]
     phi: Callable
+    canonical: Optional[Callable] = None
 
     def __post_init__(self):
         lin, nl = tuple(self.lin), tuple(self.nl)
@@ -110,10 +122,12 @@ SEPARABLE = {
         (0,), (1, 2), lambda x, a: _col(1.0 / (1.0 + jnp.exp(a[0] - a[1] * x)))
     ),
     # b0 * exp(-(x - b1)^2 / (2 b2^2)): linear b0, nonlinear (b1, b2)
+    # (width appears squared: canonical representative has b2 > 0)
     "gaussian": SeparableModel(
         (0,),
         (1, 2),
         lambda x, a: _col(jnp.exp(-((x - a[0]) ** 2) / (2.0 * a[1] ** 2))),
+        canonical=lambda b: b.at[2].set(jnp.abs(b[2])),
     ),
     # b0 * x / (b1 + x): linear b0, nonlinear b1
     "michaelis_menten": SeparableModel(
@@ -147,7 +161,7 @@ def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel
             col = e(-a[0])
             return jnp.stack([col, jnp.ones_like(col)], axis=-1)
 
-    return SeparableModel(base.lin, base.nl, phi)
+    return SeparableModel(base.lin, base.nl, phi, base.canonical)
 
 
 def _mgs_solve_clamped(P, y, floor2):
@@ -327,6 +341,9 @@ def assemble_minimizer(sm: SeparableModel, *, weighted: bool) -> Callable:
             y = yd
         c = _solve_coefficients(P, y)
         beta = jnp.zeros((n,), alpha.dtype)
-        return beta.at[lin].set(c.astype(alpha.dtype)).at[nl].set(alpha)
+        beta = beta.at[lin].set(c.astype(alpha.dtype)).at[nl].set(alpha)
+        if sm.canonical is not None:
+            beta = sm.canonical(beta)
+        return beta
 
     return rec

@@ -21,9 +21,21 @@ class Dogleg(AbstractOptimizer):
 
 @dataclasses.dataclass(frozen=True)
 class LevenbergMarquardt(AbstractOptimizer):
-    """Levenberg-Marquardt optimizer tag (reference: src/optimizer/levenberg_marquardt.jl)."""
+    """Levenberg-Marquardt optimizer tag (reference: src/optimizer/levenberg_marquardt.jl).
+
+    ``geodesic=True`` enables geodesic acceleration (Transtrum & Sethna
+    2012; beyond-reference): each iteration adds the half second-order
+    correction ``a/2`` to the step, where ``a`` solves the same damped
+    system with the directional second derivative ``f''[v, v]`` as rhs
+    (one forward-over-forward JVP of the residual — exact, no finite
+    differences). The correction is dropped — never the step — when
+    ``||a|| > GEODESIC_ALPHA * ||v||`` (config.py), so every accepted
+    step is at least as model-consistent as plain LM. Pays on "sloppy"
+    models (exponential sums, NIST-class curve fits) where the canonical
+    LM path crawls along a curved valley floor."""
 
     solver: Optional[AbstractSolver] = None
+    geodesic: bool = False
 
 
 def resolve(optimizer: Optional[AbstractOptimizer], problem):

@@ -81,6 +81,7 @@ def loop_pieces(
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
     fused: bool = False,
+    geodesic: bool = False,
 ):
     """The LM loop decomposed as ``(carry0, cond_fn, body_fn, finalize)``.
 
@@ -252,6 +253,34 @@ def loop_pieces(
             else:
                 dx, lmiter, inner_istop = solve_damped(op, fcur, damp)
         mul_calls = c["mul_calls"] + lmiter
+
+        if geodesic:
+            # Geodesic acceleration (Transtrum & Sethna 2012; see the
+            # LevenbergMarquardt tag docstring). f''[dx, dx] by exact
+            # forward-over-forward JVP, then the SAME damped system with
+            # it as rhs. Sign: with x_trial = x - dx the velocity is
+            # v = -dx; f''[v,v] = f''[dx,dx] and the Transtrum update
+            # x + v + a/2 becomes x - (dx + acc/2) with acc the solve
+            # below. A non-finite dx propagates NaN into acc, the guard
+            # comparison is then False, and the plain step is kept.
+            with jax.named_scope("lm/geodesic"):
+                def _jv(z):
+                    return jax.jvp(residual_fn, (z,), (dx,))[1]
+
+                fvv = jax.jvp(_jv, (x,), (dx,))[1]
+                if fused_gram:
+                    # Gram-carry mode has no operator: J'fvv via one VJP,
+                    # then the carried (G, damp) system.
+                    _, vjp_fn = jax.vjp(residual_fn, x)
+                    acc = solve_spd_system(G, vjp_fn(fvv)[0], damp)
+                    acc_iters = jnp.int32(2)  # one J' apply + one solve
+                else:
+                    acc, acc_iters, _ = solve_damped(op, fvv, damp)
+                use_acc = sumabs2(acc) <= (
+                    config.GEODESIC_ALPHA**2
+                ) * sumabs2(dx)
+                dx = jnp.where(use_acc, dx + 0.5 * acc, dx)
+            mul_calls = mul_calls + acc_iters
         if lower is not None or upper is not None:
             # Active-set refinement (shared scheme:
             # common.active_set_refinement). LM keeps its regular damping
@@ -302,7 +331,8 @@ def loop_pieces(
             ftrial, jtrial = res_jac_fn(x_trial)
         else:
             ftrial = residual_fn(x_trial)
-        f_calls = c["f_calls"] + 1
+        # Geodesic charges the two nested-JVP model evaluations of f''vv.
+        f_calls = c["f_calls"] + (3 if geodesic else 1)
         trial_ssr = sumabs2(ftrial)
         ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
         if fused_gram:
@@ -420,6 +450,7 @@ def optimize_loop(
     x0: Optional[jnp.ndarray] = None,
     batched: bool = False,
     fused: bool = False,
+    geodesic: bool = False,
 ):
     """Run LM from ``x0`` (default ``problem.x0``); returns a raw result pytree.
 
@@ -427,6 +458,6 @@ def optimize_loop(
     ``problem.residual_fn``) batches independent fits.
     """
     carry, cond_fn, body_fn, finalize = loop_pieces(
-        problem, solver_tag, opts, lower, upper, x0, batched, fused
+        problem, solver_tag, opts, lower, upper, x0, batched, fused, geodesic
     )
     return finalize(jax.lax.while_loop(cond_fn, body_fn, carry))

@@ -225,10 +225,12 @@ def test_separable_contract_errors():
 def test_nist_varpro_scoreboard(opt_name):
     """VarPro over the 14 separable NIST models x 2 certified starts,
     reference forcing protocol (same as test_nist.py). Gates are
-    measured-0: dogleg misses MGH09 s0 (diverges) + Eckerle4 s0 (wrong
-    basin), lm misses MGH10 s0 — and VarPro *rescues* basins the joint
-    fit loses from the same starts (dogleg: MGH10 s0; lm: the joint
-    scoreboard's MGH10 s0 stays missed but BoxBOD/misra far starts hold).
+    measured-0: dogleg misses MGH09 s0 (diverges), lm misses MGH10 s0 —
+    and VarPro *rescues* basins the joint fit loses from the same starts
+    (dogleg: MGH10 s0; lm: the joint scoreboard's MGH10 s0 stays missed
+    but BoxBOD/misra far starts hold). Eckerle4 s0 (a former dogleg
+    wrong-basin miss) is closed by symmetry canonicalization — the fit
+    was landing on the model-identical (-b1, -b2) representative.
     Any regression on a single dataset fails loudly."""
     from leastsquaresoptim_jl_tpu.models.nist import DATASETS, NIST_SEPARABLE
 
@@ -237,7 +239,7 @@ def test_nist_varpro_scoreboard(opt_name):
         "lm": lso.LevenbergMarquardt(lso.QR()),
     }[opt_name]
     allowed_misses = {
-        "dogleg": {("MGH09", 0), ("Eckerle4", 0)},
+        "dogleg": {("MGH09", 0)},
         "lm": {("MGH10", 0)},
     }[opt_name]
     n, total, misses = 0, 0, []
@@ -264,6 +266,45 @@ def test_nist_varpro_scoreboard(opt_name):
     # the rescue the joint dogleg cannot do from the certified far start
     if opt_name == "dogleg":
         assert ("MGH10", 0) not in misses
+
+
+def test_separable_canonicalization():
+    """Exact-symmetry reduction on assembled minimizers: Eckerle4's
+    (b1, b2) -> (-b1, -b2) sign pair (the f32 VarPro QR route lands on
+    the negative representative from the s0 start — model-identical,
+    parameter rel err 2.0 without this), Lanczos3's term permutation,
+    Gauss1/2's bump permutation + width signs."""
+    from leastsquaresoptim_jl_tpu.models.nist import (
+        DATASETS,
+        NIST_SEPARABLE,
+        _canon_sorted_exp_sum,
+        _canon_two_bumps,
+    )
+
+    # unit: permutation + sign canonicalizers
+    b = jnp.asarray([1.0, 5.0, 2.0, 0.5, 3.0, 2.0])
+    assert np.allclose(
+        np.asarray(_canon_sorted_exp_sum(b)), [2.0, 0.5, 3.0, 2.0, 1.0, 5.0]
+    )
+    g = jnp.asarray([9.0, 0.1, 5.0, 150.0, -20.0, 7.0, 100.0, 18.0])
+    assert np.allclose(
+        np.asarray(_canon_two_bumps(g)),
+        [9.0, 0.1, 7.0, 100.0, 18.0, 5.0, 150.0, 20.0],
+    )
+
+    # end-to-end: Eckerle4 s0 in f32 (the measured regression case)
+    d = DATASETS["Eckerle4"]
+    sol = np.asarray(d["solution"])
+    r = curve_fit(
+        NIST_SEPARABLE["Eckerle4"], np.asarray(d["x"], np.float32),
+        np.asarray(d["y"], np.float32),
+        np.asarray(d["starts"][0], np.float32), separable=True,
+        optimizer=lso.Dogleg(), iterations=3000,
+        x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+    )
+    rel = np.max(np.abs(np.asarray(r.minimizer) - sol) / np.abs(sol))
+    assert float(np.asarray(r.minimizer)[1]) > 0
+    assert rel < 1e-3, rel
 
 
 def test_separable_coefficient_solve_qr_accuracy():
