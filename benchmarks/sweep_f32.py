@@ -50,6 +50,7 @@ def _stage_f32(out_path, cpu=False, only=None):
     import leastsquaresoptim_jl_tpu as lso
     from leastsquaresoptim_jl_tpu.models.curves import curve_fit
     from leastsquaresoptim_jl_tpu.models.minpack import full_suite
+    from leastsquaresoptim_jl_tpu.models.separable import reduced_residual
     from leastsquaresoptim_jl_tpu.models.nist import (
         DATASETS,
         MODELS,
@@ -199,23 +200,65 @@ def _stage_f32(out_path, cpu=False, only=None):
                 # in pure f32 (measured, benchmarks/README.md).
                 sm = NIST_SEPARABLE.get(name)
                 if sm is not None:
+                    # LM additionally tries geodesic acceleration
+                    # (solution-blind route selection): the
+                    # second-order trajectory lands the sloppy
+                    # exponential sums plain f32 LM misses (measured:
+                    # Lanczos3 s0 1.2e-3 -> 2.1e-4, Bennet5 s1
+                    # 8.5e-3 -> 3e-5) while plain LM keeps the rows
+                    # where the geodesic f32 trajectory wobbles
+                    # (Lanczos3 s1). Selection: decisive ssr wins; when
+                    # the routes tie within 2x (on these maximally
+                    # sloppy valleys the ssr landscape is flat to f32
+                    # rounding while parameters move ~1%), the endpoint
+                    # with the smaller reduced-gradient max wins — the
+                    # KKT-quality tie-break (measured to pick the
+                    # certified basin on every tie row: Bennet5 s1
+                    # g 5.4e-4 vs 1.2e-5, Lanczos3 s1 8.7e-10 vs
+                    # 1.2e-9, Lanczos3 s0 1.5e-9 vs 1.3e-9).
+                    vp_opts = [opt]
+                    if opt_name == "lm":
+                        vp_opts.append(
+                            lso.LevenbergMarquardt(geodesic=True)
+                        )
+                    fred = reduced_residual(sm, weighted=False)
+                    nl_idx = list(sm.nl)
+
+                    def _gmax(minimizer):
+                        alpha = jnp.asarray(
+                            np.asarray(minimizer, np.float64)[nl_idx],
+                            jnp.float32,
+                        )
+                        rv, vjp = jax.vjp(
+                            lambda a: fred(a, (xdata, ydata)), alpha
+                        )
+                        return float(np.max(np.abs(np.asarray(vjp(rv)[0]))))
+
                     def run_varpro(seed):
-                        try:
-                            rv = curve_fit(
-                                sm, xdata, ydata,
-                                jnp.asarray(seed, jnp.float32),
-                                separable=True, optimizer=opt,
-                                iterations=3000,
-                                x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
-                            )
-                            return (
-                                np.asarray(rv.minimizer, np.float64),
-                                float(rv.ssr),
-                            )
-                        except lso.IsFiniteError:
-                            # non-finite iterate (e.g. MGH10 far start
-                            # under LM from the certified start)
+                        cands = []
+                        for o in vp_opts:
+                            try:
+                                rv = curve_fit(
+                                    sm, xdata, ydata,
+                                    jnp.asarray(seed, jnp.float32),
+                                    separable=True, optimizer=o,
+                                    iterations=3000,
+                                    x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+                                )
+                            except lso.IsFiniteError:
+                                # non-finite iterate (e.g. MGH10 far
+                                # start under LM from the certified
+                                # start)
+                                continue
+                            x = np.asarray(rv.minimizer, np.float64)
+                            cands.append((x, float(rv.ssr)))
+                        if not cands:
                             return None, np.inf
+                        s_min = min(s for _, s in cands)
+                        tied = [c for c in cands if c[1] <= 2.0 * s_min]
+                        if len(tied) > 1:
+                            return min(tied, key=lambda c: _gmax(c[0]))
+                        return tied[0]
 
                     xv, sv = run_varpro(start)
                     # Basin escalation for the VarPro route: when the

@@ -39,6 +39,13 @@ CURVES = {
     "gaussian": lambda x, b: b[0] * jnp.exp(-((x - b[1]) ** 2) / (2.0 * b[2] ** 2)),
     # Michaelis-Menten: b0 x / (b1 + x)
     "michaelis_menten": lambda x, b: b[0] * x / (b[1] + x),
+    # two-term exponential sum: b0 exp(-b1 x) + b2 exp(-b3 x)
+    # [pharmacokinetics / relaxation; Lanczos shape with 2 terms].
+    # The terms permute — the separable structure canonicalizes the
+    # fitted vector to rates ascending (models/separable.py).
+    "exp_sum_2": lambda x, b: (
+        b[0] * jnp.exp(-b[1] * x) + b[2] * jnp.exp(-b[3] * x)
+    ),
 }
 
 
@@ -57,7 +64,7 @@ CURVES = {
 # unrecoverable (0*inf) without re-doing the per-sample exp, which would
 # erase the win. Measured failure: O(1)-wrong model values near the grid
 # edge at f32 with b2 ≳ 2.8 on a dt=1, m=64 grid.
-_GRIDDED_NAMES = ("exp_saturation", "exp_decay")
+_GRIDDED_NAMES = ("exp_saturation", "exp_decay", "exp_sum_2")
 
 
 def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
@@ -77,6 +84,8 @@ def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
     e = make_exp_grid(t0, dt, m)
     if name == "exp_saturation":
         return lambda x, b: b[0] * (1.0 - e(-b[1]))
+    if name == "exp_sum_2":
+        return lambda x, b: b[0] * e(-b[1]) + b[2] * e(-b[3])
     return lambda x, b: b[0] * e(-b[1]) + b[2]
 
 

@@ -99,6 +99,15 @@ def _col(v):
     return v[..., None]
 
 
+def canonical_sorted_exp_pairs(b):
+    """Canonical representative for ``sum_j amp_j exp(-rate_j x)`` models
+    with interleaved ``(amp, rate)`` pairs at indices (0,1), (2,3), ...:
+    the terms permute freely; canonical = rates ascending."""
+    amps, rates = b[0::2], b[1::2]
+    order = jnp.argsort(rates)
+    return jnp.stack([amps[order], rates[order]], axis=-1).reshape(-1)
+
+
 # Separable structure of the CURVES zoo (models/curves.py). Each phi takes
 # the sample vector x (m,) and the nonlinear sub-vector alpha and returns
 # (m, p) basis columns; model(x, beta) == phi(x, beta[nl]) @ beta[lin].
@@ -133,17 +142,28 @@ SEPARABLE = {
     "michaelis_menten": SeparableModel(
         (0,), (1,), lambda x, a: _col(x / (a[0] + x))
     ),
+    # b0 exp(-b1 x) + b2 exp(-b3 x): linear (b0, b2), nonlinear (b1, b3);
+    # permutable terms canonicalized to rates ascending
+    "exp_sum_2": SeparableModel(
+        (0, 2),
+        (1, 3),
+        lambda x, a: jnp.stack(
+            [jnp.exp(-a[0] * x), jnp.exp(-a[1] * x)], axis=-1
+        ),
+        canonical=canonical_sorted_exp_pairs,
+    ),
 }
 
 # Gridded-exp bases (uniform sample grid; see models/curves.py for the
 # grid contract and ops/special.py for the evaluator).
-_GRIDDED_SEPARABLE = ("exp_saturation", "exp_decay")
+_GRIDDED_SEPARABLE = ("exp_saturation", "exp_decay", "exp_sum_2")
 
 
 def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel:
     """SEPARABLE entry with the basis evaluated via the gridded-exp op
     (3 exps + power tables instead of m) on the uniform grid
-    ``x_i = t0 + i*dt``. Supported: exp_saturation, exp_decay."""
+    ``x_i = t0 + i*dt``. Supported: exp_saturation, exp_decay,
+    exp_sum_2."""
     if name not in _GRIDDED_SEPARABLE:
         raise ValueError(
             f"no gridded separable variant for {name!r}; supported: "
@@ -155,6 +175,8 @@ def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel
     base = SEPARABLE[name]
     if name == "exp_saturation":
         phi = lambda x, a: _col(1.0 - e(-a[0]))
+    elif name == "exp_sum_2":
+        phi = lambda x, a: jnp.stack([e(-a[0]), e(-a[1])], axis=-1)
     else:  # exp_decay
 
         def phi(x, a):

@@ -268,6 +268,44 @@ def test_nist_varpro_scoreboard(opt_name):
         assert ("MGH10", 0) not in misses
 
 
+def test_exp_sum_2_varpro_recovers_and_canonicalizes():
+    """The 2-term exponential-sum zoo model: VarPro recovers planted
+    (amp, rate) pairs from a start with the terms DELIBERATELY swapped
+    and wrong amplitudes (VarPro is amplitude-start-immune), and the
+    canonicalization returns rates ascending. Composes with
+    gridded=True (uniform grid) and curve_fit_batch."""
+    from leastsquaresoptim_jl_tpu.models.curves import (
+        curve_fit,
+        curve_fit_batch,
+    )
+
+    m = 48
+    xd = np.linspace(0.0, 6.0, m)
+    true = np.array([2.5, 0.4, 1.2, 2.1])  # rates 0.4 < 2.1 (canonical)
+    y = true[0] * np.exp(-true[1] * xd) + true[2] * np.exp(-true[3] * xd)
+    # swapped-term start with garbage amplitudes
+    p0 = np.array([100.0, 1.9, -7.0, 0.5])
+    r = curve_fit("exp_sum_2", xd, y, p0, separable=True,
+                  optimizer=lso.LevenbergMarquardt())
+    assert r.converged
+    assert np.allclose(np.asarray(r.minimizer), true, rtol=1e-6), r.minimizer
+
+    # batched + gridded path (identical model on the uniform grid)
+    B = 8
+    rng = np.random.default_rng(5)
+    bt = np.stack([
+        rng.uniform(1, 4, B), rng.uniform(0.2, 0.5, B),
+        rng.uniform(0.5, 2, B), rng.uniform(1.5, 3, B),
+    ], 1)
+    Y = (bt[:, :1] * np.exp(-bt[:, 1:2] * xd[None, :])
+         + bt[:, 2:3] * np.exp(-bt[:, 3:4] * xd[None, :]))
+    p0b = bt * rng.uniform(0.9, 1.1, bt.shape)
+    raw = curve_fit_batch("exp_sum_2", xd, Y, p0b, separable=True,
+                          gridded=True)
+    assert bool(jnp.all(raw["converged"]))
+    assert np.allclose(np.asarray(raw["minimizer"]), bt, rtol=1e-5)
+
+
 def test_separable_canonicalization():
     """Exact-symmetry reduction on assembled minimizers: Eckerle4's
     (b1, b2) -> (-b1, -b2) sign pair (the f32 VarPro QR route lands on

@@ -52,7 +52,9 @@ def test_exp_grid_gradients_exact_rule():
     assert np.allclose(np.asarray(g), np.asarray(expect), rtol=1e-13)
 
 
-@pytest.mark.parametrize("name", ["exp_saturation", "exp_decay"])
+@pytest.mark.parametrize(
+    "name", ["exp_saturation", "exp_decay", "exp_sum_2"]
+)
 def test_curve_fit_batch_gridded_matches_naive(name):
     from leastsquaresoptim_jl_tpu.models import curve_fit_batch
 
@@ -61,6 +63,12 @@ def test_curve_fit_batch_gridded_matches_naive(name):
     xd = np.linspace(0.5, 12.0, m)
     if name == "exp_saturation":
         betas = np.stack([rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B)], 1)
+    elif name == "exp_sum_2":
+        # well-separated rates (identifiable 2-exponential sum)
+        betas = np.stack(
+            [rng.uniform(2, 5, B), rng.uniform(0.1, 0.2, B),
+             rng.uniform(1, 3, B), rng.uniform(0.8, 1.5, B)], 1
+        )
     else:  # exp_decay
         betas = np.stack(
             [rng.uniform(2, 5, B), rng.uniform(0.2, 0.8, B), rng.uniform(0.5, 2, B)], 1
