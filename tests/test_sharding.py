@@ -105,6 +105,38 @@ def test_solve_sharded_curve_fit_matches_single_chip():
     assert bool(raw2["converged"])
 
 
+def test_solve_sharded_geodesic_matches_single_chip():
+    """Geodesic acceleration composes with the row-sharded path: the
+    f''[v,v] nested JVP traces through the sharded residual (psum-bearing
+    collectives differentiate cleanly under GSPMD) and the acceleration
+    solve reuses the sharded damped LSMR. Trajectory must match the
+    single-chip geodesic solve exactly."""
+    m = 64
+    xdata = jnp.array(np.linspace(1.0, 80.0, m))
+    true = jnp.array([240.0, 5.0e-4])
+    ydata = true[0] * (1 - jnp.exp(-true[1] * xdata))
+
+    def per_row(beta, row):
+        xr, yr = row
+        return yr - beta[0] * (1 - jnp.exp(-beta[1] * xr))
+
+    def residual(beta):
+        return ydata - beta[0] * (1 - jnp.exp(-beta[1] * xdata))
+
+    x0 = jnp.array([200.0, 1e-3])
+    opt = lso.LevenbergMarquardt(lso.LSMR(), geodesic=True)
+    p = lso.least_squares_problem(f=residual, x=x0, materialize_jacobian=False)
+    ref = lso.solve(p, opt)
+
+    mesh = _mesh()
+    data = shard_rows((xdata, ydata), mesh)
+    raw = solve_sharded(per_row, data, x0, mesh, opt)
+    assert bool(raw["converged"])
+    assert np.allclose(raw["minimizer"], ref["minimizer"], atol=1e-10)
+    assert int(raw["iterations"]) == int(ref["iterations"])
+    assert int(raw["mul_calls"]) == int(ref["mul_calls"])
+
+
 def test_solve_sharded_batch_axis():
     """2D mesh: independent fits over 'batch', rows over 'rows'."""
     mesh = make_mesh((2, 4), ("batch", "rows"))
