@@ -24,7 +24,7 @@ from typing import Callable, Union
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LOSSES", "robustify"]
+__all__ = ["LOSSES", "robustify", "irls_weights"]
 
 
 def _rho_over_z_linear(z):
@@ -68,6 +68,28 @@ LOSSES = {
 }
 
 
+def _resolve_ratio(loss):
+    if callable(loss):
+        return loss
+    try:
+        return LOSSES[loss]
+    except KeyError:
+        raise ValueError(
+            f"unknown loss {loss!r}; expected one of {sorted(LOSSES)} "
+            "or a callable rho_over_z"
+        ) from None
+
+
+def _check_f_scale(f_scale):
+    f_scale = float(f_scale)
+    if not (f_scale > 0.0) or not np.isfinite(f_scale):
+        raise ValueError(
+            f"f_scale must be a positive finite number, got {f_scale!r} "
+            "(0 would collapse every residual to 0/NaN and fake a perfect fit)"
+        )
+    return f_scale
+
+
 def robustify(
     residual_fn: Callable,
     loss: Union[str, Callable] = "linear",
@@ -79,22 +101,8 @@ def robustify(
     ``loss`` is a name from :data:`LOSSES` or a callable ``rho_over_z(z)``
     returning rho(z)/z (the smooth ratio form; must tend to 1 as z -> 0).
     """
-    if callable(loss):
-        ratio = loss
-    else:
-        try:
-            ratio = LOSSES[loss]
-        except KeyError:
-            raise ValueError(
-                f"unknown loss {loss!r}; expected one of {sorted(LOSSES)} "
-                "or a callable rho_over_z"
-            ) from None
-    f_scale = float(f_scale)
-    if not (f_scale > 0.0) or not np.isfinite(f_scale):
-        raise ValueError(
-            f"f_scale must be a positive finite number, got {f_scale!r} "
-            "(0 would collapse every residual to 0/NaN and fake a perfect fit)"
-        )
+    ratio = _resolve_ratio(loss)
+    f_scale = _check_f_scale(f_scale)
     if ratio is _rho_over_z_linear:
         return residual_fn
 
@@ -116,3 +124,49 @@ def robustify(
         return f_scale * scaled * jnp.sqrt(ratio(z))
 
     return robust_residual
+
+
+def irls_weights(
+    loss: Union[str, Callable] = "linear", f_scale: float = 1.0
+) -> Callable:
+    """IRLS weight map ``w(r) = sqrt(rho'((r/f_scale)^2))`` for the robust
+    objective ``sum(f_scale^2 rho((r/f_scale)^2))``.
+
+    Solving the *weighted* least-squares problem with these weights
+    (recomputed from the previous iterate's residuals) is the standard
+    iteratively-reweighted scheme: the weighted normal equations at the
+    fixed point coincide with the robust objective's stationarity
+    condition ``sum(rho'(z_i) r_i dr_i) = 0``. rho' comes from AD of the
+    stored smooth-ratio form (``rho(z) = z * ratio(z)``) — exact for the
+    built-in losses and any user callable. Used by the separable (VarPro)
+    robust path, where the closed-form inner coefficient solve requires a
+    genuinely (re)weighted plain LS problem — the exact ``robustify``
+    residual transform cannot pass through it.
+
+    The weight for a gross outlier tends to 0 (huber/soft_l1 ~ 1/|r|,
+    cauchy ~ 1/r^2), never NaN: the same pre-squaring overflow clamp as
+    ``robustify`` applies, and rho' is evaluated at finite z.
+    """
+    import jax
+
+    ratio = _resolve_ratio(loss)
+    f_scale = _check_f_scale(f_scale)
+    if ratio is _rho_over_z_linear:
+        return lambda r: jnp.ones_like(r)
+
+    def drho(z):
+        # elementwise rho'(z) via AD of z*ratio(z) (sum-trick: rho is
+        # elementwise, so grad of the sum is the elementwise derivative)
+        return jax.grad(lambda zz: jnp.sum(zz * ratio(zz)))(z)
+
+    def weights(r):
+        scaled = r / f_scale
+        cap = (
+            jnp.sqrt(jnp.asarray(jnp.finfo(scaled.dtype).max, scaled.dtype))
+            / 4
+        )
+        scaled = jnp.clip(scaled, -cap, cap)
+        z = scaled * scaled
+        return jnp.sqrt(jnp.maximum(drho(z), 0.0))
+
+    return weights

@@ -198,8 +198,9 @@ def _curve_fit_separable(
     model, xdata, ydata, p0, *, weights, optimizer, lower, upper, **kwargs
 ):
     """curve_fit with VarPro (separable=True). Same contracts as the
-    batched path: named SEPARABLE model or SeparableModel instance, no
-    bounds, linear loss only."""
+    batched path: named SEPARABLE model or SeparableModel instance,
+    bounds on the nonlinear parameters only (full-beta arrays with
+    infinite components at the linear indices), linear loss only."""
     import dataclasses
 
     import numpy as np
@@ -222,17 +223,21 @@ def _curve_fit_separable(
             "separable=True needs a SeparableModel or a named model with "
             f"separable structure; supported names: {sorted(SEPARABLE)}"
         )
-    if lower is not None or upper is not None:
-        raise ValueError(
-            "separable=True does not support bounds (the eliminated "
-            "linear coefficients cannot be box-constrained)"
-        )
+    from .separable import split_nl_bounds
+
+    lower_nl, upper_nl = split_nl_bounds(sep, lower, upper)
     if kwargs.get("loss", "linear") != "linear":
-        raise ValueError(
-            "separable=True requires loss='linear': VarPro eliminates the "
-            "coefficients in exact least squares (robust losses would "
-            "need IRLS)"
+        # Robust separable fits run IRLS: the exact robustify residual
+        # transform cannot pass through the closed-form coefficient
+        # solve (the transformed objective is no longer plain LS in c),
+        # so the loss is handled by iterative reweighting around the
+        # linear-loss VarPro solve.
+        return _separable_irls(
+            _curve_fit_separable, _full_model_fn(sep, model), model,
+            xdata, ydata, p0, weights=weights, optimizer=optimizer,
+            lower=lower, upper=upper, **kwargs,
         )
+    kwargs.pop("irls_iterations", None)
 
     from ..api import _array_fingerprint
 
@@ -282,10 +287,146 @@ def _curve_fit_separable(
             f"for this separable model; got {p0j.shape}"
         )
     alpha0 = p0j[jnp.asarray(sep.nl)]
-    result = optimize(residual, alpha0, optimizer, **kwargs)
+    result = optimize(
+        residual, alpha0, optimizer, lower=lower_nl, upper=upper_nl, **kwargs
+    )
     rec = assemble_minimizer(sep, weighted=weighted)
     full = np.asarray(rec(jnp.asarray(result.minimizer), data))
     return dataclasses.replace(result, minimizer=full)
+
+
+def _full_model_fn(sep, model):
+    """Full ``model(x, beta)`` callable for residual evaluation in the
+    IRLS loop: the named model where one exists, otherwise rebuilt from
+    the separable structure (``phi(x, beta[nl]) @ beta[lin]``)."""
+    if isinstance(model, str):
+        return _as_model(model)
+    import jax.numpy as _jnp
+
+    lin = _jnp.asarray(sep.lin)
+    nl = _jnp.asarray(sep.nl)
+    return lambda x, b: sep.phi(x, b[..., nl]) @ b[..., lin]
+
+
+def _separable_irls(
+    fit_fn, model_fn, model, xdata, ydata, p0, *, weights, optimizer,
+    lower, upper, loss, f_scale=1.0, irls_iterations=10, **kwargs
+):
+    """Robust separable fit by iteratively reweighted VarPro.
+
+    Each round solves the *linear-loss* weighted VarPro problem with
+    weights ``w_user * sqrt(rho'((w_user r / f_scale)^2))`` from the
+    previous iterate's residuals (loss.irls_weights), warm-started at
+    that iterate; the first round is the plain weighted fit (weights
+    from the start would confound outliers with start misfit). Stops
+    when the full parameter vector moves less than the dtype x-tolerance
+    (relative) or after ``irls_iterations`` rounds. The returned
+    result's ``ssr`` is the TRUE robust objective
+    ``sum(f_scale^2 rho((w_user r / f_scale)^2))`` at the final
+    parameters; the convergence flags/criteria refer to the last
+    weighted subproblem. Fixed points of this scheme satisfy the robust
+    objective's stationarity condition; for non-convex losses (cauchy,
+    arctan) it is the standard local scheme, not a global method.
+    """
+    import dataclasses
+
+    from .. import config
+    from ..loss import irls_weights, robustify
+
+    w_map = irls_weights(loss, f_scale)
+    xj = jnp.asarray(xdata)
+    yj = jnp.asarray(ydata)
+    w_user = None if weights is None else jnp.asarray(weights)
+    if irls_iterations < 1:
+        raise ValueError("irls_iterations must be >= 1")
+
+    def weighted_resid(beta):
+        r = yj - model_fn(xj, beta)
+        return r if w_user is None else w_user * r
+
+    beta = jnp.asarray(p0)
+    x_tol = config.default_tolerances(beta.dtype)[0]
+    result = None
+    for _ in range(irls_iterations):
+        if result is None:
+            w_tot = w_user  # round 1: plain weighted VarPro
+        else:
+            w_irls = w_map(weighted_resid(beta))
+            w_tot = w_irls if w_user is None else w_user * w_irls
+        result = fit_fn(
+            model, xdata, ydata, beta, weights=w_tot,
+            optimizer=optimizer, lower=lower, upper=upper, **kwargs,
+        )
+        beta_new = jnp.asarray(result.minimizer)
+        done = bool(
+            jnp.max(jnp.abs(beta_new - beta))
+            <= x_tol * (1.0 + float(jnp.max(jnp.abs(beta_new))))
+        )
+        beta = beta_new
+        if done:
+            break
+    rr = robustify(weighted_resid, loss, f_scale)(beta)
+    return dataclasses.replace(result, ssr=float(jnp.sum(rr * rr)))
+
+
+def _separable_irls_batch(
+    model, xdata, ydata, p0, *, sep, weights, optimizer, options, lower,
+    upper, min_converged_fraction, loss, f_scale, gridded, irls_iterations
+):
+    """Batched robust separable fit: the _separable_irls scheme around
+    the vmapped linear-loss VarPro solve. IRLS weights are per-fit
+    (B, m); the whole batch stops when every fit's parameter vector has
+    settled (or after ``irls_iterations`` rounds). The returned raw
+    ``ssr`` is the per-fit TRUE robust objective at the final
+    parameters. For string models the residual evaluation uses the naive
+    model (the gridded evaluator differs by few-ulp rounding — far below
+    the weight map's sensitivity)."""
+    import jax
+
+    from .. import config
+    from ..loss import irls_weights, robustify
+
+    if irls_iterations < 1:
+        raise ValueError("irls_iterations must be >= 1")
+    w_map = irls_weights(loss, f_scale)
+    model_fn = _full_model_fn(sep, model)
+    xj = jnp.asarray(xdata)
+    yj = jnp.asarray(ydata)
+    x_axis = None if xj.ndim == 1 else 0
+    w_user = None if weights is None else jnp.asarray(weights)
+
+    def resid_batch(P):
+        r = yj - jax.vmap(model_fn, in_axes=(x_axis, 0))(xj, P)
+        return r if w_user is None else w_user * r
+
+    beta = jnp.asarray(p0)
+    x_tol = config.default_tolerances(beta.dtype)[0]
+    raw = None
+    for _ in range(irls_iterations):
+        if raw is None:
+            w_tot = w_user  # round 1: plain weighted VarPro
+        else:
+            w_irls = w_map(resid_batch(beta))
+            w_tot = w_irls if w_user is None else w_user * w_irls
+        raw = curve_fit_batch(
+            model, xdata, ydata, beta, weights=w_tot,
+            optimizer=optimizer, options=options, lower=lower,
+            upper=upper, min_converged_fraction=min_converged_fraction,
+            gridded=gridded, separable=True,
+        )
+        beta_new = raw["minimizer"]
+        done = bool(
+            jnp.max(jnp.abs(beta_new - beta))
+            <= x_tol * (1.0 + float(jnp.max(jnp.abs(beta_new))))
+        )
+        beta = beta_new
+        if done:
+            break
+    rt = robustify(lambda r: r, loss, f_scale)
+    rr = rt(resid_batch(beta))
+    raw = dict(raw)
+    raw["ssr"] = jnp.sum(rr * rr, axis=-1)
+    return raw
 
 
 def curve_fit_batch(
@@ -304,6 +445,7 @@ def curve_fit_batch(
     f_scale: float = 1.0,
     gridded: bool = False,
     separable: bool = False,
+    irls_iterations: int = 10,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
@@ -328,7 +470,12 @@ def curve_fit_batch(
     :class:`~.separable.SeparableModel`; ``p0`` stays the FULL parameter
     vector (the linear entries seed nothing — they are recomputed), and
     the returned ``minimizer`` is the full vector with the optimal
-    coefficients filled in. Incompatible with bounds and robust losses.
+    coefficients filled in. Bounds apply to the NONLINEAR parameters
+    only (full-beta arrays; components at the linear indices must be
+    infinite — the closed-form coefficient solve is unconstrained).
+    Robust losses run IRLS around the linear-loss VarPro solve (up to
+    ``irls_iterations`` reweighted rounds; the returned ``ssr`` is the
+    true robust objective per fit).
     The per-fit convergence criteria (x/f/g) and the returned
     ``jacobian`` refer to the reduced (nonlinear-parameter) problem.
     Composes with ``gridded=True`` for the exponential family.
@@ -355,15 +502,17 @@ def curve_fit_batch(
                 f"{sorted(SEPARABLE)}"
             )
         if loss != "linear":
-            raise ValueError(
-                "separable=True requires loss='linear': VarPro eliminates "
-                "the coefficients in exact least squares (robust losses "
-                "would need IRLS)"
-            )
-        if lower is not None or upper is not None:
-            raise ValueError(
-                "separable=True does not support bounds (the eliminated "
-                "linear coefficients cannot be box-constrained)"
+            # Robust separable fits: IRLS around the linear-loss VarPro
+            # batch solve (see _separable_irls for the scheme; the exact
+            # robustify transform cannot pass through the closed-form
+            # coefficient solve).
+            return _separable_irls_batch(
+                model, xdata, ydata, p0, sep=sep, weights=weights,
+                optimizer=optimizer, options=options, lower=lower,
+                upper=upper,
+                min_converged_fraction=min_converged_fraction,
+                loss=loss, f_scale=f_scale, gridded=gridded,
+                irls_iterations=irls_iterations,
             )
     else:
         model = _as_model(model)
@@ -434,7 +583,11 @@ def curve_fit_batch(
     if sep is not None:
         import jax
 
-        from .separable import assemble_minimizer, reduced_residual
+        from .separable import (
+            assemble_minimizer,
+            reduced_residual,
+            split_nl_bounds,
+        )
 
         n_full = len(sep.lin) + len(sep.nl)
         if p0.shape[-1] != n_full:
@@ -442,11 +595,13 @@ def curve_fit_batch(
                 f"p0 must carry the FULL parameter vector (n={n_full} for "
                 f"this separable model); got n={p0.shape[-1]}"
             )
+        lower_nl, upper_nl = split_nl_bounds(sep, lower, upper)
         alpha0 = p0[..., jnp.asarray(sep.nl)]
         weighted = weights is not None
         raw = solve_batch(
             reduced_residual(sep, weighted=weighted), alpha0, data,
             optimizer, options=options, output_length=m,
+            lower=lower_nl, upper=upper_nl,
             data_axis=axes, min_converged_fraction=min_converged_fraction,
         )
         rec = assemble_minimizer(sep, weighted=weighted)

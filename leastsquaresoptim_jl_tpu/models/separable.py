@@ -186,6 +186,42 @@ def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel
     return SeparableModel(base.lin, base.nl, phi, base.canonical)
 
 
+def split_nl_bounds(sm: SeparableModel, lower, upper):
+    """Validate full-``beta`` box bounds for a VarPro solve and slice
+    them to the nonlinear subspace.
+
+    The eliminated linear coefficients are solved in closed form,
+    unconstrained — their bound components must be infinite (bounds on
+    ``c`` would need an NNLS/BVLS inner solve, which defeats the
+    closed-form elimination). Returns ``(lower_nl, upper_nl)`` with
+    ``None`` for a side that is absent or fully infinite. Bounds must be
+    concrete (they select the reduced problem's box at trace time)."""
+    import numpy as np
+
+    n = len(sm.lin) + len(sm.nl)
+
+    def side(bound, name, fill):
+        if bound is None:
+            return None
+        b = np.asarray(bound, np.float64)
+        if b.shape != (n,):
+            raise ValueError(
+                f"{name} must be the FULL parameter vector of shape "
+                f"({n},) for this separable model; got {b.shape}"
+            )
+        if not np.all(b[list(sm.lin)] == fill):
+            raise ValueError(
+                "separable=True supports bounds on the NONLINEAR "
+                f"parameters only; {name} components at the linear "
+                f"indices {sm.lin} must be {fill} (the closed-form "
+                "coefficient solve is unconstrained)"
+            )
+        sub = b[list(sm.nl)]
+        return None if np.all(sub == fill) else jnp.asarray(sub)
+
+    return side(lower, "lower", -np.inf), side(upper, "upper", np.inf)
+
+
 def _mgs_solve_clamped(P, y, floor2):
     """Least-squares ``argmin_c ||P c - y||`` via unrolled MGS QR with
     every R-diagonal division floored: ``R_jj = sqrt(||v||^2 + floor2)``.

@@ -196,14 +196,17 @@ def test_separable_contract_errors():
         curve_fit_batch("nonsense_model", xd, Y, p0, separable=True)
     with pytest.raises(ValueError, match="separable structure"):
         curve_fit_batch(lambda x, b: b[0] * x, xd, Y, p0, separable=True)
-    with pytest.raises(ValueError, match="bounds"):
+    # bounds may touch only the NONLINEAR parameters (linear components
+    # must be infinite); a finite bound on the linear coefficient raises
+    with pytest.raises(ValueError, match="NONLINEAR"):
         curve_fit_batch(
             "exp_saturation", xd, Y, p0, separable=True,
             lower=np.zeros(2),
         )
-    with pytest.raises(ValueError, match="IRLS"):
+    with pytest.raises(ValueError, match="irls_iterations"):
         curve_fit_batch(
-            "exp_saturation", xd, Y, p0, separable=True, loss="huber"
+            "exp_saturation", xd, Y, p0, separable=True, loss="huber",
+            irls_iterations=0,
         )
     with pytest.raises(ValueError, match="FULL parameter"):
         curve_fit_batch(
@@ -216,7 +219,7 @@ def test_separable_contract_errors():
         )
     with pytest.raises(ValueError, match="partition"):
         SeparableModel((0,), (2,), lambda x, a: x[:, None])
-    with pytest.raises(ValueError, match="bounds"):
+    with pytest.raises(ValueError, match="NONLINEAR"):
         curve_fit("exp_saturation", xd, Y[0], np.ones(2), separable=True,
                   upper=np.full(2, 10.0))
 
@@ -266,6 +269,99 @@ def test_nist_varpro_scoreboard(opt_name):
     # the rescue the joint dogleg cannot do from the certified far start
     if opt_name == "dogleg":
         assert ("MGH10", 0) not in misses
+
+
+def test_separable_robust_loss_irls():
+    """Robust separable fits (IRLS around the linear-loss VarPro solve):
+    with gross outliers in the data, loss='huber' recovers the planted
+    parameters where the plain LS VarPro fit is dragged off; the
+    returned ssr is the true robust objective. Batched path matches."""
+    from leastsquaresoptim_jl_tpu.models.curves import (
+        curve_fit,
+        curve_fit_batch,
+    )
+
+    m = 60
+    xd = np.linspace(0.0, 4.0, m)
+    true = np.array([2.5, 1.3])
+    rng = np.random.default_rng(7)
+    y = true[0] * (1.0 - np.exp(-true[1] * xd)) + 0.01 * rng.normal(size=m)
+    y_out = y.copy()
+    y_out[[5, 20, 40]] += np.array([8.0, -6.0, 10.0])  # gross outliers
+
+    p0 = np.array([1.0, 0.5])
+    plain = curve_fit("exp_saturation", xd, y_out, p0, separable=True)
+    robust = curve_fit("exp_saturation", xd, y_out, p0, separable=True,
+                       loss="huber", f_scale=0.1)
+    err_plain = np.max(np.abs(np.asarray(plain.minimizer) - true) / true)
+    err_robust = np.max(np.abs(np.asarray(robust.minimizer) - true) / true)
+    assert err_robust < 0.02, err_robust
+    assert err_robust < err_plain / 5, (err_robust, err_plain)
+    # ssr is the true robust objective (bounded by the outlier count times
+    # the linear-region crossover, far below the plain SSR of ~200)
+    assert float(robust.ssr) < 10.0
+
+    # batched path: two fits (clean + outliers) in one call
+    Y = np.stack([y, y_out])
+    p0b = np.stack([p0, p0])
+    raw = curve_fit_batch("exp_saturation", xd, Y, p0b, separable=True,
+                          loss="huber", f_scale=0.1)
+    errs = np.max(
+        np.abs(np.asarray(raw["minimizer"]) - true[None, :]) / true[None, :],
+        axis=1,
+    )
+    assert np.all(errs < 0.02), errs
+    assert raw["ssr"].shape == (2,)
+    single_clean = curve_fit("exp_saturation", xd, y, p0, separable=True,
+                             loss="huber", f_scale=0.1)
+    assert np.allclose(
+        np.asarray(raw["minimizer"][0]),
+        np.asarray(single_clean.minimizer), rtol=1e-5,
+    )
+
+
+def test_separable_bounds_on_nonlinear_parameters():
+    """VarPro with box bounds on the NONLINEAR parameters (full-beta
+    bound arrays, infinite at the linear indices): an active upper bound
+    on the rate pins the reduced solve at the boundary with the
+    projected-gradient KKT certificate; bounds touching a linear index
+    still raise."""
+    from leastsquaresoptim_jl_tpu.models.curves import (
+        curve_fit,
+        curve_fit_batch,
+    )
+
+    m = 40
+    xd = np.linspace(0.0, 4.0, m)
+    true = np.array([2.5, 1.3])  # exp_saturation: b0 linear, b1 rate
+    y = true[0] * (1.0 - np.exp(-true[1] * xd))
+
+    # inactive bound: same fit as unbounded
+    up = np.array([np.inf, 5.0])
+    r = curve_fit("exp_saturation", xd, y, np.array([1.0, 0.5]),
+                  separable=True, upper=up)
+    assert r.converged and np.allclose(np.asarray(r.minimizer), true,
+                                       rtol=1e-6)
+
+    # active bound: rate pinned at 1.0, g-converged certifies KKT
+    up_active = np.array([np.inf, 1.0])
+    r2 = curve_fit("exp_saturation", xd, y, np.array([1.0, 0.5]),
+                   separable=True, upper=up_active)
+    assert np.asarray(r2.minimizer)[1] <= 1.0 + 1e-12
+    assert abs(float(np.asarray(r2.minimizer)[1]) - 1.0) < 1e-6
+    assert r2.converged
+
+    # bounding a linear coefficient is rejected loudly
+    with pytest.raises(ValueError, match="NONLINEAR"):
+        curve_fit("exp_saturation", xd, y, np.array([1.0, 0.5]),
+                  separable=True, upper=np.array([10.0, np.inf]))
+
+    # batched path accepts the same contract
+    Y = np.stack([y, 1.1 * y])
+    p0b = np.array([[1.0, 0.5], [1.0, 0.5]])
+    raw = curve_fit_batch("exp_saturation", xd, Y, p0b, separable=True,
+                          upper=up_active)
+    assert np.all(np.asarray(raw["minimizer"])[:, 1] <= 1.0 + 1e-12)
 
 
 def test_exp_sum_2_varpro_recovers_and_canonicalizes():
