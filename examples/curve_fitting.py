@@ -88,6 +88,32 @@ def main():
     print(f"varpro: {100 * ok_s:.1f}% converged from 1000x-off amplitude "
           f"starts; minimizers match truth: {agree_s}")
 
+    # 8. robust VarPro (IRLS around the linear-loss VarPro solve) with a
+    # bound on the nonlinear rate — outliers down-weighted, amplitude
+    # still closed-form, rate boxed
+    y_out = np.asarray(y_clean).copy()
+    y_out[[5, 40]] += [90.0, -60.0]
+    r = lso.curve_fit(
+        "exp_saturation", x, jnp.asarray(y_out), [1.0, 1e-1],
+        separable=True, loss="huber", f_scale=1.0,
+        upper=np.array([np.inf, 1.0]),
+    )
+    print("robust bounded varpro:", np.asarray(r.minimizer),
+          "robust objective:", float(r.ssr))
+
+    # 9. geodesic acceleration: half the second-order correction added to
+    # each LM step — ~2x fewer iterations on sloppy exponential sums
+    # (here a 2-term sum with close rates; canonicalized rates ascending)
+    xs = jnp.linspace(0.0, 6.0, 48)
+    ys = 2.5 * jnp.exp(-0.5 * xs) + 1.2 * jnp.exp(-1.1 * xs)
+    p0 = jnp.array([1.0, 0.3, 1.0, 2.0])
+    r_p = lso.curve_fit("exp_sum_2", xs, ys, p0,
+                        optimizer=lso.LevenbergMarquardt())
+    r_g = lso.curve_fit("exp_sum_2", xs, ys, p0,
+                        optimizer=lso.LevenbergMarquardt(geodesic=True))
+    print(f"geodesic: {int(r_g.iterations)} iters vs plain "
+          f"{int(r_p.iterations)}; converged: {r_g.converged}")
+
 
 if __name__ == "__main__":
     main()
