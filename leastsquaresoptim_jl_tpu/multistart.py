@@ -22,7 +22,7 @@ from .optimizer.common import Options
 __all__ = ["optimize_multistart", "latin_hypercube_starts", "best_of_raw"]
 
 
-def best_of_raw(raw):
+def best_of_raw(raw, ssr_rtol: float = 0.0):
     """Pure on-device best-row selection from a batched raw result pytree.
 
     Picks the row with the smallest ssr among converged finite rows —
@@ -32,6 +32,16 @@ def best_of_raw(raw):
     ``best_of_raw(solve_batch(f, starts, ...))`` can live inside one
     compiled program (e.g. chained under lax.map, or per-problem under
     vmap). ``optimize_multistart`` uses it for its pick.
+
+    ``ssr_rtol > 0`` enables the KKT-quality tie-break: among rows whose
+    ssr is within ``(1 + ssr_rtol)`` of the best, the row with the
+    smallest projected-gradient max (``raw["maxabs_gr"]``) wins. On
+    sloppy models (exponential sums, NIST Bennett5/Lanczos class) the
+    ssr landscape is flat to the dtype's rounding while parameters move
+    ~1% — rounding-level ssr "wins" are then arbitrary, and the endpoint
+    closest to stationarity is the better representative (measured: the
+    tie-break picks the certified NIST basin on every f32 VarPro tie row,
+    benchmarks/sweep_f32.py).
     """
     ssr = raw["ssr"]
     conv = raw["converged"]
@@ -40,7 +50,13 @@ def best_of_raw(raw):
     use_conv = jnp.any(pick)
     mask = jnp.where(use_conv, pick, finite)
     masked = jnp.where(mask, ssr, jnp.inf)
-    best = jnp.argmin(masked)
+    if ssr_rtol > 0.0 and "maxabs_gr" in raw:
+        smin = jnp.min(masked)
+        tie = mask & (masked <= smin * (1.0 + ssr_rtol))
+        g = jnp.where(tie, jnp.abs(raw["maxabs_gr"]), jnp.inf)
+        best = jnp.argmin(g)
+    else:
+        best = jnp.argmin(masked)
     S = ssr.shape[0]
     return jax.tree_util.tree_map(
         lambda leaf: (
@@ -80,6 +96,7 @@ def optimize_multistart(
     upper=None,
     materialize_jacobian: bool = True,
     autodiff: str = "forward",
+    ssr_rtol: float = 0.0,
 ):
     """Solve from every row of ``starts`` (S, n) in one batched kernel and
     return ``(best_raw, all_raw)``.
@@ -88,6 +105,8 @@ def optimize_multistart(
     the smallest ssr among converged starts — or among all starts when none
     converged. ``all_raw`` is the full batched result for inspection.
     ``data``, if given, is shared by every start (not batched).
+    ``ssr_rtol`` enables best_of_raw's KKT-quality tie-break on
+    rounding-level ssr ties.
     """
     starts = jnp.asarray(starts)
 
@@ -108,4 +127,4 @@ def optimize_multistart(
         data_axis=None,
     )
 
-    return best_of_raw(raw), raw
+    return best_of_raw(raw, ssr_rtol=ssr_rtol), raw

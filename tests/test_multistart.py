@@ -102,3 +102,34 @@ def test_best_of_raw_jit_composable():
     )
     assert np.allclose(np.asarray(best["minimizer"]),
                        np.asarray(host_best["minimizer"]))
+
+
+def test_best_of_raw_kkt_tie_break():
+    """ssr_rtol enables the KKT-quality tie-break: among rows whose ssr
+    ties within the tolerance, the smallest projected-gradient max wins;
+    a decisively better ssr still wins regardless of gradient."""
+    raw = {
+        "ssr": jnp.asarray([1.0000, 1.0001, 2.5, jnp.inf]),
+        "converged": jnp.asarray([True, True, True, False]),
+        "maxabs_gr": jnp.asarray([1e-3, 1e-9, 1e-12, 0.0]),
+        "minimizer": jnp.arange(4.0),
+    }
+    # default: plain min-ssr pick (row 0)
+    assert float(lso.best_of_raw(raw)["minimizer"]) == 0.0
+    # tie-break: rows 0/1 tie at 1e-2 rtol; row 1 has the smaller
+    # gradient. Row 2 (tiny gradient, 2.5x worse ssr) must NOT win.
+    best = lso.best_of_raw(raw, ssr_rtol=1e-2)
+    assert float(best["minimizer"]) == 1.0
+    # optimize_multistart passes the knob through
+    xdata = jnp.linspace(0.5, 8.0, 30)
+    ydata = 3.0 * (1.0 - jnp.exp(-0.7 * xdata))
+
+    def f(beta, d):
+        x, y = d
+        return y - beta[0] * (1.0 - jnp.exp(-beta[1] * x))
+
+    starts = jnp.asarray([[2.0, 0.5], [4.0, 1.0]])
+    best2, _ = lso.optimize_multistart(
+        f, starts, data=(xdata, ydata), output_length=30, ssr_rtol=1e-3
+    )
+    assert np.allclose(np.asarray(best2["minimizer"]), [3.0, 0.7], atol=1e-5)
