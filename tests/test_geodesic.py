@@ -109,6 +109,29 @@ def test_geodesic_batched_matches_sequential():
         assert int(batched["iterations"][i]) == int(single.iterations)
 
 
+def test_geodesic_fraction_stop_batch():
+    """Geodesic threads through the fraction-stop batched driver
+    (batch.py _solve_batch_fraction passes the tag's geodesic flag to
+    loop_pieces): the batch converges and the minimizers match the
+    plain-LM batch to solver tolerance."""
+    xd, Y, x0, bt = _curve_batch(B=16)
+
+    def f(b, y):
+        return b[0] * (1 - jnp.exp(-b[1] * xd)) - y
+
+    raws = {}
+    for geo in (False, True):
+        raws[geo] = lso.solve_batch(
+            f, x0, data_batch=Y, data_axis=0,
+            optimizer=lso.LevenbergMarquardt(lso.Cholesky(), geodesic=geo),
+            min_converged_fraction=1.0,
+        )
+        assert bool(jnp.all(raws[geo]["converged"]))
+    assert np.allclose(
+        np.asarray(raws[True]["minimizer"]), bt, rtol=1e-8
+    )
+
+
 def test_geodesic_fused_gram_matches_unfused():
     """The Gram-carry schedule has no operator: its acceleration rhs goes
     through an explicit VJP + the carried SPD system. Same minimizer."""
