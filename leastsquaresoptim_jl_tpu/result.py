@@ -102,6 +102,12 @@ class LeastSquaresResult:
     # the reference exposes the same via ConvergenceHistory
     # (src/utils/lsmr.jl:9-14,234-237).
     inner_istop: int = -1
+    # Projected-gradient max at the last linearization point (the value
+    # the g_tol KKT test saw) — the stationarity quality of the stop;
+    # NaN when no iteration ran. Useful for telling a converged basin
+    # from a flat-valley stop on rounding-level ssr ties (the measured
+    # basis of best_of_raw's ssr_rtol tie-break).
+    maxabs_gr: float = float("nan")
 
     def __repr__(self):
         status = (
@@ -179,4 +185,5 @@ def result_from_raw(raw, opts) -> LeastSquaresResult:
         mul_calls=int(np.asarray(raw["mul_calls"])),
         jacobian=_host_jacobian(raw["jacobian"]),
         inner_istop=int(np.asarray(raw.get("inner_istop", -1))),
+        maxabs_gr=float(np.asarray(raw.get("maxabs_gr", np.nan))),
     )
