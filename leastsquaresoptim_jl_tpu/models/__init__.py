@@ -15,7 +15,12 @@ from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
 from .nist import NIST_SEPARABLE
-from .separable import SEPARABLE, SeparableModel, gridded_separable
+from .separable import (
+    SEPARABLE,
+    SeparableModel,
+    exp_sum_separable,
+    gridded_separable,
+)
 
 __all__ = [
     "curve_fit",
@@ -25,6 +30,7 @@ __all__ = [
     "SEPARABLE",
     "SeparableModel",
     "gridded_separable",
+    "exp_sum_separable",
     "full_suite",
     "cholesky_suite",
     "NIST_DATASETS",

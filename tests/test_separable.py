@@ -271,6 +271,44 @@ def test_nist_varpro_scoreboard(opt_name):
         assert ("MGH10", 0) not in misses
 
 
+def test_exp_sum_separable_factory():
+    """exp_sum_separable(k): the generic k-term exponential-sum VarPro
+    structure. k=3 reproduces the Lanczos3 NIST_SEPARABLE fit exactly;
+    the gridded variant (t0/dt/m) matches the naive basis on a uniform
+    grid; contract errors are loud."""
+    from leastsquaresoptim_jl_tpu.models.curves import curve_fit
+    from leastsquaresoptim_jl_tpu.models.nist import DATASETS
+    from leastsquaresoptim_jl_tpu.models.separable import exp_sum_separable
+
+    d = DATASETS["Lanczos3"]
+    sol = np.asarray(d["solution"])
+    sm = exp_sum_separable(3)
+    r = curve_fit(
+        sm, np.asarray(d["x"]), np.asarray(d["y"]),
+        np.asarray(d["starts"][1], np.float64), separable=True,
+        optimizer=lso.LevenbergMarquardt(lso.QR()), iterations=3000,
+        x_tol=1e-50, f_tol=1e-36, g_tol=1e-50,
+    )
+    assert np.linalg.norm(np.asarray(r.minimizer) - sol) <= 1e-3
+
+    # gridded variant on a uniform grid: same fit as the naive basis
+    m = 48
+    t0, dt = 0.0, 0.125
+    xd = t0 + dt * np.arange(m)
+    true = np.array([2.0, 0.3, 1.0, 1.7])
+    y = true[0] * np.exp(-true[1] * xd) + true[2] * np.exp(-true[3] * xd)
+    for sm2 in (exp_sum_separable(2),
+                exp_sum_separable(2, t0=t0, dt=dt, m=m)):
+        r2 = curve_fit(sm2, xd, y, np.array([1.0, 0.2, 1.0, 2.0]),
+                       separable=True)
+        assert np.allclose(np.asarray(r2.minimizer), true, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        exp_sum_separable(0)
+    with pytest.raises(ValueError, match="t0, dt, m"):
+        exp_sum_separable(2, t0=0.0)
+
+
 def test_separable_robust_loss_irls():
     """Robust separable fits (IRLS around the linear-loss VarPro solve):
     with gross outliers in the data, loss='huber' recovers the planted
