@@ -101,6 +101,19 @@ def main():
     print("robust bounded varpro:", np.asarray(r.minimizer),
           "robust objective:", float(r.ssr))
 
+    # full-parameter error bars for a VarPro fit: re-linearize the JOINT
+    # model at the assembled minimizer (the result's own jacobian refers
+    # to the reduced problem)
+    from leastsquaresoptim_jl_tpu.utils import covariance
+
+    rv = lso.curve_fit("exp_saturation", x, y, [1.0, 1e-1], separable=True)
+    pj = lso.least_squares_problem(
+        f=lambda b: b[0] * (1 - jnp.exp(-b[1] * x)) - y,
+        x=jnp.asarray(rv.minimizer),
+    )
+    se = np.sqrt(np.diag(covariance(rv, problem=pj)))
+    print("varpro full-parameter std errors:", se)
+
     # 9. geodesic acceleration: half the second-order correction added to
     # each LM step — ~2x fewer iterations on sloppy exponential sums
     # (here a 2-term sum with close rates; canonicalized rates ascending)

@@ -271,6 +271,39 @@ def test_nist_varpro_scoreboard(opt_name):
         assert ("MGH10", 0) not in misses
 
 
+def test_separable_full_covariance_recipe():
+    """Full-beta covariance for a VarPro fit: the result's own jacobian
+    refers to the REDUCED problem, but covariance(result, problem=) with
+    the joint model problem re-linearizes at the assembled minimizer —
+    error bars for ALL parameters including the eliminated amplitudes.
+    Cross-check against the plain joint fit's covariance."""
+    from leastsquaresoptim_jl_tpu.models.curves import curve_fit
+    from leastsquaresoptim_jl_tpu.utils import covariance
+
+    m = 50
+    xd = jnp.linspace(0.0, 4.0, m)
+    rng = np.random.default_rng(11)
+    true = np.array([2.5, 1.3])
+    y = jnp.asarray(
+        true[0] * (1 - np.exp(-true[1] * np.asarray(xd)))
+        + 0.05 * rng.normal(size=m)
+    )
+
+    def joint_f(b):
+        return b[0] * (1 - jnp.exp(-b[1] * xd)) - y
+
+    rv = curve_fit("exp_saturation", xd, y, np.array([1.0, 0.5]),
+                   separable=True)
+    p = lso.least_squares_problem(f=joint_f, x=jnp.asarray(rv.minimizer))
+    cov_v = covariance(rv, problem=p)
+
+    rj = lso.optimize(joint_f, jnp.array([1.0, 0.5]))
+    cov_j = covariance(rj, problem=p)
+    assert cov_v.shape == (2, 2)
+    assert np.all(np.isfinite(cov_v))
+    assert np.allclose(cov_v, cov_j, rtol=1e-6)
+
+
 def test_exp_sum_separable_factory():
     """exp_sum_separable(k): the generic k-term exponential-sum VarPro
     structure. k=3 reproduces the Lanczos3 NIST_SEPARABLE fit exactly;
