@@ -547,6 +547,37 @@ def test_separable_coefficient_solve_qr_accuracy():
     assert np.allclose(np.asarray(cb), c32, atol=0)
 
 
+@pytest.mark.parametrize("log_cond", [1, 2, 3, 4, 5])
+def test_separable_coefficient_solve_cond_sweep(log_cond):
+    """Property test for the MGS-QR coefficient route across a
+    conditioning sweep: on a random (m, 4) basis with cond(P) = 10^k,
+    the f32 solve error against an f64 lstsq oracle stays ~eps*cond
+    (gate at 100*eps32*cond) — the normal-equations route would be
+    ~eps*cond^2, failing the gate from cond ~ 1e3 up."""
+    from leastsquaresoptim_jl_tpu.models.separable import _solve_coefficients
+
+    rng = np.random.default_rng(100 + log_cond)
+    m, p = 32, 4
+    # controlled conditioning via SVD synthesis
+    U = np.linalg.qr(rng.standard_normal((m, p)))[0]
+    V = np.linalg.qr(rng.standard_normal((p, p)))[0]
+    svals = np.logspace(0.0, -log_cond, p)
+    P64 = U @ np.diag(svals) @ V.T
+    c_true = rng.standard_normal(p)
+    y64 = P64 @ c_true + 1e-3 * rng.standard_normal(m)  # inconsistent rhs
+    c_oracle = np.linalg.lstsq(P64, y64, rcond=None)[0]
+
+    c32 = np.asarray(
+        _solve_coefficients(
+            jnp.asarray(P64, jnp.float32), jnp.asarray(y64, jnp.float32)
+        ),
+        np.float64,
+    )
+    cond = 10.0**log_cond
+    err = np.max(np.abs(c32 - c_oracle)) / max(np.max(np.abs(c_oracle)), 1.0)
+    assert err <= 100.0 * 1.2e-7 * cond, (log_cond, err)
+
+
 def test_separable_degenerate_basis_gradient_finite():
     """jacfwd AND jacrev of the reduced residual are finite at an alpha
     where the basis vanishes (the QR route's floored divisions must not
