@@ -155,6 +155,26 @@ def test_geodesic_fused_gram_matches_unfused():
         assert np.allclose(mf, bt[i], rtol=1e-6)
 
 
+def test_geodesic_with_active_bound():
+    """Geodesic composes with box bounds: the accelerated step feeds the
+    same clip + active-set refinement, and the projected-gradient KKT
+    test certifies the active-bound stop."""
+    xd = jnp.linspace(0.0, 4.0, 40)
+    y = 2.5 * (1 - jnp.exp(-1.3 * xd))
+
+    def f(b):
+        return b[0] * (1 - jnp.exp(-b[1] * xd)) - y
+
+    upper = jnp.array([jnp.inf, 1.0])  # rate capped below its optimum
+    r = lso.optimize(
+        f, jnp.array([1.0, 0.5]),
+        lso.LevenbergMarquardt(geodesic=True), upper=upper,
+    )
+    assert r.converged
+    assert float(np.asarray(r.minimizer)[1]) <= 1.0 + 1e-12
+    assert abs(float(np.asarray(r.minimizer)[1]) - 1.0) < 1e-6
+
+
 def test_geodesic_matrix_free_lsmr():
     """Geodesic composes with the matrix-free LSMR path: f''vv comes from
     AD of the residual, the acceleration from the same damped LSMR solve."""

@@ -391,6 +391,25 @@ def test_separable_robust_loss_irls():
     )
 
 
+def test_separable_robust_irls_fraction_stop():
+    """Robust batched VarPro composes with the fraction-stop driver:
+    min_converged_fraction passes through every IRLS round."""
+    from leastsquaresoptim_jl_tpu.models.curves import curve_fit_batch
+
+    m, B = 40, 6
+    xd = np.linspace(0.0, 4.0, m)
+    rng = np.random.default_rng(3)
+    bt = np.stack([rng.uniform(2, 3, B), rng.uniform(1.0, 1.6, B)], 1)
+    Y = bt[:, :1] * (1 - np.exp(-bt[:, 1:2] * xd[None, :]))
+    Y[:, 9] += 5.0  # one outlier column in every fit
+    raw = curve_fit_batch(
+        "exp_saturation", xd, Y, bt * 0.8, separable=True,
+        loss="huber", f_scale=0.1, min_converged_fraction=1.0,
+    )
+    errs = np.max(np.abs(np.asarray(raw["minimizer"]) - bt) / bt, axis=1)
+    assert np.all(errs < 0.05), errs
+
+
 def test_separable_bounds_on_nonlinear_parameters():
     """VarPro with box bounds on the NONLINEAR parameters (full-beta
     bound arrays, infinite at the linear indices): an active upper bound
