@@ -22,7 +22,10 @@ amplitude b0 eliminated in closed form, outer LM on b1 alone;
 models/separable.py) composed with the **gridded-exp evaluation**
 (exp(-b1*x_i) on the uniform sample grid is a geometric sequence: 3
 exps + power tables instead of m; ops/special.py). Same fits, same
-data, same convergence criteria and stop fraction, accuracy reported on
+data, same tolerance settings and stop fraction — with the x/f/g
+criteria applied to the VarPro-reduced n=1 problem (the f-criterion
+tests the identical SSR; full-vector accuracy is verified on-chip via
+the median-rel-err line) — accuracy reported on
 the FULL assembled parameter vector — measured on-chip 2026-08-18 at
 1.66x the joint naive-exp route (14.2M vs 8.6M converged fits/s; each
 route alone LOSES: VarPro 0.49x — the reduced n=1 problem's per-iter
@@ -32,8 +35,12 @@ outer problem while the gridded tables make the now-dominant basis
 evaluation cheap). ``--joint`` restores the plain joint-LM route.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-compares against a single-threaded NumPy LM implementation of the same
-algorithm, also run to convergence at the same tolerances.
+compares against a single-threaded NumPy implementation of the JOINT
+naive-exp LM algorithm (the rounds-1/2 route), run to convergence at
+the same tolerances. Under the default VarPro+gridded route the ratio
+therefore bundles algorithmic and hardware speedup; the JSON line
+carries an explicit ``route`` field so consumers can tell which route
+produced the number, and ``--joint`` gives the same-algorithm ratio.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 An ablation of the batched-mode reuse fix (lax.cond branches made
@@ -46,7 +53,11 @@ cap and a 95% stop (a noise-floor fit takes more iterations to certify
 its f-criterion plateau, and a slice of the far starts walks the b2
 saturation ridge). Accuracy under noise is bounded by the data, not the
 solver: with sigma = 1% of the amplitude over m=64 samples the
-parameter noise floor is ~0.2-1% relative.
+parameter noise floor is ~0.2-1% relative. NOTE: under the default
+VarPro route the amplitude (b0) start perturbation is inert — the
+linear coefficient is re-solved in closed form each iteration — so the
+rationale above describes the joint route; for cross-round
+comparability with rounds 1-2 run ``--hard --joint``.
 """
 
 import json
@@ -404,7 +415,11 @@ def main():
                     f"converged fits/s ({workload}, {route} "
                     f"to f32 tolerances, >={conv_frac:.0%} stop, f32)"
                 ),
+                # vs_baseline divides by a single-core NumPy JOINT-LM
+                # implementation: same algorithm as --joint, NOT the
+                # default VarPro route (see module docstring).
                 "vs_baseline": round(fits_per_s / baseline_fits_per_s, 2),
+                "route": route,
             }
         )
     )
