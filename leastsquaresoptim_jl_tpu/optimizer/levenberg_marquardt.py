@@ -41,6 +41,7 @@ staleness and takes ``problem=`` to re-linearize at the minimizer).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -234,9 +235,21 @@ def loop_pieces(
         elif batched or fused:
             dtd_raw = op.colnorms2()
         else:
-            dtd_raw = jax.lax.cond(
-                c["need_jacobian"], op.colnorms2, lambda: c["dtd_raw"]
+            fresh = (
+                (lambda: op.colnorms2_update(c["dtd_raw"]))
+                if op.colnorms2_update is not None
+                else op.colnorms2
             )
+            dtd_raw = jax.lax.cond(
+                c["need_jacobian"], fresh, lambda: c["dtd_raw"]
+            )
+            # Inject the carried/EMA estimate into the operator so every
+            # downstream consumer (the LSMR Jacobi preconditioner calls
+            # op.colnorms2() inside solve_damped) reuses it instead of
+            # recomputing a fresh probe set — before this, the
+            # preconditioner paid 32 rmatvec probes EVERY iteration even
+            # when dtd rode the carry (the cond boundary blocks CSE).
+            op = dataclasses.replace(op, colnorms2=lambda: dtd_raw)
         dtd = dtd_raw
         dtd_mean = jnp.mean(dtd)
         dtd = jnp.clip(

@@ -35,8 +35,10 @@ def solver_fns(tag: AbstractSolver):
     each returns ``(dx, mvps, istop)``."""
     direct = jnp.int32(ISTOP_DIRECT)
     if isinstance(tag, QR):
+        policy = tag.rank_policy
         return (
-            lambda op, y: _qr.solve_gn(op.J, y) + (direct,),
+            lambda op, y: _qr.solve_gn(op.J, y, rank_policy=policy)
+            + (direct,),
             lambda op, y, d: _qr.solve_damped(op.J, y, d) + (direct,),
         )
     if isinstance(tag, Cholesky):

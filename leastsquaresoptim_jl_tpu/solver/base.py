@@ -30,11 +30,31 @@ class QR(AbstractSolver):
     """Dense QR solver tag (reference: src/solver/dense_qr.jl).
 
     The reference uses LAPACK's *column-pivoted* QR (geqp3); XLA's QR is
-    unpivoted, so rank-deficient systems are covered by a jittered
-    normal-equations fallback taken only when the triangular solve produces
-    non-finite values (see solver/qr.py). This divergence is intentional and
-    gated by the rank-deficient factor-model test.
+    unpivoted, so rank-deficient systems are covered by a fallback taken
+    only when the scale-invariant survival test flags (near-)singularity
+    (see solver/qr.py). ``rank_policy`` selects the fallback:
+
+    * ``"jitter"`` (default) — scaled-Tikhonov normal equations: fast,
+      batched-cheap, bounded step. With non-uniform per-column jitter the
+      step can pick up an O(1) component in null(J) that pivoted geqp3
+      would have truncated.
+    * ``"truncate"`` — SVD pseudoinverse with singular values below
+      ``max(m, n) * eps * smax`` cut: the minimum-norm Gauss-Newton step,
+      matching the reference's pivoted-QR trailing-block truncation
+      semantics (reference: dense_qr.jl:37, LAPACK geqp3 + triangular
+      solve on the surviving leading block). Costs an SVD per fallback
+      hit; opt-in because the SVD also compiles into the lax.cond branch
+      of every solve.
     """
+
+    rank_policy: str = "jitter"
+
+    def __post_init__(self):
+        if self.rank_policy not in ("jitter", "truncate"):
+            raise ValueError(
+                f"rank_policy must be 'jitter' or 'truncate', "
+                f"got {self.rank_policy!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

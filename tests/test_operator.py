@@ -179,3 +179,92 @@ def test_hutchinson_probes_decorrelate_across_points():
     # both remain unbiased-estimator-close to the truth
     assert np.max(np.abs(rel1 - 1.0)) < 1.0
     assert np.max(np.abs(rel2 - 1.0)) < 1.0
+
+
+def test_hutchinson_ema_update():
+    """Cross-iteration probe reuse (round-3 VERDICT weak #5): matrix-free
+    operators past the exact-colnorms cutoff expose colnorms2_update; the
+    first call (zeros sentinel) returns the full-probe estimate, later
+    calls EMA-fold a small fresh probe set into the carried value. Exact
+    and user-supplied colnorms have no update closure."""
+    import numpy as onp
+
+    from leastsquaresoptim_jl_tpu.ops import operators as ops
+
+    rng = onp.random.default_rng(0)
+    n, m = 40, 200  # n > _EXACT_COLNORMS_MAX_N -> Hutchinson route
+    A = jnp.asarray(rng.standard_normal((m, n)))
+
+    def residual(x):
+        return A @ x
+
+    x_lin = jnp.asarray(rng.standard_normal(n))
+    op = ops.from_linearization(residual, x_lin, m)
+    assert op.colnorms2_update is not None
+
+    exact = onp.sum(onp.asarray(A) ** 2, axis=0)
+    # First call: sentinel zeros -> the full 32-probe estimate, unbiased
+    # to ~1/sqrt(32) relative.
+    first = onp.asarray(op.colnorms2_update(jnp.zeros(n)))
+    assert onp.all(first > 0)
+    assert onp.median(onp.abs(first - exact) / exact) < 0.5
+    full = onp.asarray(op.colnorms2())
+    assert onp.allclose(first, full)  # same probe realization
+    # Later calls: EMA of prev with an 8-probe fresh set — output strictly
+    # between prev and the fresh estimate, elementwise (w=0.5 midpoint).
+    prev = jnp.asarray(exact * 2.0)
+    upd = onp.asarray(op.colnorms2_update(prev))
+    assert not onp.allclose(upd, onp.asarray(prev))
+    # still a valid estimate of the diagonal scale
+    assert onp.median(onp.abs(upd - exact) / exact) < 1.5
+
+    # small-n exact route: no update closure
+    op_small = ops.from_linearization(
+        lambda x: (A[:, :4] @ x), jnp.ones(4), m
+    )
+    assert op_small.colnorms2_update is None
+    # user-supplied colnorms: no update closure either
+    op_user = ops.from_linearization(
+        residual, x_lin, m, colnorms_fn=lambda x: jnp.ones(n)
+    )
+    assert op_user.colnorms2_update is None
+
+
+def test_lm_lsmr_ema_matches_quality_at_scale():
+    """End-to-end LM(LSMR) with the EMA estimator at n=48 (Hutchinson
+    regime) converges to the same optimum quality as user-exact colnorms;
+    the mvp count must not exceed the exact route by more than the
+    estimator overhead bound measured in bench_colnorms (~5x)."""
+    import numpy as onp
+
+    n, k = 48, 16
+    m = n * k
+    rng = onp.random.default_rng(1)
+    t = jnp.asarray(rng.uniform(0.1, 2.0, size=(n, k)))
+    a = jnp.asarray(rng.uniform(0.5, 1.5, size=(n, k)))
+    x_true = jnp.asarray(rng.uniform(0.5, 1.5, size=n))
+    y = a * jnp.exp(-x_true[:, None] * t)
+
+    def residual(x):
+        return (a * jnp.exp(-x[:, None] * t) - y).ravel()
+
+    def colnorms(x):
+        dcol = -t * a * jnp.exp(-x[:, None] * t)
+        return jnp.sum(dcol * dcol, axis=1)
+
+    p_est = lso.least_squares_problem(
+        f=residual, x=jnp.ones(n), output_length=m,
+        materialize_jacobian=False,
+    )
+    p_exact = lso.matrix_free_problem(
+        f=residual, x=jnp.ones(n), output_length=m, colnorms=colnorms
+    )
+    r_est = lso.solve(p_est, lso.LevenbergMarquardt(lso.LSMR()))
+    r_exact = lso.solve(p_exact, lso.LevenbergMarquardt(lso.LSMR()))
+    assert bool(onp.asarray(r_est["converged"]))
+    assert bool(onp.asarray(r_exact["converged"]))
+    err = onp.max(onp.abs(onp.asarray(r_est["minimizer"]) - onp.asarray(x_true)))
+    assert err < 1e-6, err
+    mvp_est = int(onp.asarray(r_est["mul_calls"]))
+    mvp_exact = int(onp.asarray(r_exact["mul_calls"]))
+    assert mvp_est <= 5 * mvp_exact, (mvp_est, mvp_exact)
