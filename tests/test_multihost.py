@@ -102,3 +102,121 @@ def test_two_process_distributed_solve(tmp_path):
     # both processes report the identical replicated result
     assert rows[0] == rows[1]
     assert np.isclose(rows[0][1], 200.0, rtol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 VERDICT item #7: 4 processes + the orbax sharded checkpoint
+# round-trip mid-solve (each process writes/reads only its own shards).
+
+_WORKER4 = textwrap.dedent(
+    """
+    import sys
+    proc, nproc, port, ckdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc, process_id=proc,
+    )
+    import jax.numpy as jnp, numpy as np
+    sys.path.insert(0, "__REPO__")
+    import leastsquaresoptim_jl_tpu as lso
+    from leastsquaresoptim_jl_tpu.parallel import make_mesh, solve_sharded
+    from leastsquaresoptim_jl_tpu.utils.checkpoint import (
+        load_pytree_orbax, save_pytree_orbax,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh((jax.device_count(),), ("rows",))
+    m = 64
+    xh = np.linspace(1.0, 80.0, m)
+    yh = 240.0 * (1 - np.exp(-5e-4 * xh))
+    sharding = NamedSharding(mesh, P("rows"))
+    mk = lambda h: jax.make_array_from_callback(
+        (m,), sharding, lambda idx: h[idx]
+    )
+    data = (mk(xh), mk(yh))
+    resid = lambda b, row: row[1] - b[0] * (1 - jnp.exp(-b[1] * row[0]))
+    x0 = jnp.array([200.0, 1e-3])
+    opt = lso.LevenbergMarquardt(lso.LSMR())
+
+    # Stage 1: partial solve -> a genuine mid-solve state.
+    raw1 = solve_sharded(
+        resid, data, x0, mesh, opt, options=lso.Options(iterations=4)
+    )
+    x_mid = raw1["minimizer"]
+    # A genuinely ROW-SHARDED checkpoint leaf: the residual at the iterate
+    # (sharding propagates from the sharded data through jit).
+    r_sharded = jax.jit(resid)(x_mid, data)
+    state = {"x": x_mid, "r": r_sharded}
+    save_pytree_orbax(ckdir, state)
+    restored = load_pytree_orbax(ckdir, state)
+
+    # Per-process shard fidelity: this process's local shards round-trip.
+    ok_shard = int(all(
+        np.array_equal(np.asarray(a.data), np.asarray(b.data))
+        for a, b in zip(
+            r_sharded.addressable_shards, restored["r"].addressable_shards
+        )
+    ))
+
+    # Stage 2: resume from the RESTORED iterate must equal resuming from
+    # the in-memory iterate bitwise (same trajectory).
+    raw_resume = solve_sharded(resid, data, restored["x"], mesh, opt)
+    raw_direct = solve_sharded(resid, data, x_mid, mesh, opt)
+    mr = np.asarray(raw_resume["minimizer"])
+    md = np.asarray(raw_direct["minimizer"])
+    same = int(np.array_equal(mr, md))
+    print(
+        f"RESULT {proc} {jax.device_count()} "
+        f"{mr[0]:.10e} {mr[1]:.10e} "
+        f"{int(np.asarray(raw_resume['converged']))} {same} {ok_shard}"
+    )
+    """
+)
+
+
+def test_four_process_checkpoint_resume(tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker4.py"
+    script.write_text(_WORKER4.replace("__REPO__", repo))
+    port = _free_port()
+    ckdir = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "4", str(port), ckdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True,
+        )
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    rows = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, ndev, b0, b1, conv, same, ok_shard = line.split()
+                rows[int(pid)] = (
+                    int(ndev), float(b0), float(b1), int(conv),
+                    int(same), int(ok_shard),
+                )
+    assert set(rows) == {0, 1, 2, 3}, rows
+    for pid, (ndev, b0, b1, conv, same, ok_shard) in rows.items():
+        assert ndev == 4  # a genuinely global 4-process mesh
+        assert conv == 1
+        assert same == 1  # restored-iterate resume == in-memory resume
+        assert ok_shard == 1  # local shards round-tripped exactly
+    # all processes report the identical replicated result
+    assert len({r[1:3] for r in rows.values()}) == 1
+    assert np.isclose(rows[0][1], 200.0, rtol=0.1)
