@@ -66,14 +66,21 @@ def main():
     yd = jnp.asarray(Y, dtype)
     x0j = jnp.asarray(x0, dtype)
     nbytes = B * m * 4
+    # XLA TPU pads the minor dim to 128 lanes: a (B, 64) f32 array
+    # occupies (B, 128) in HBM (see CLAUDE.md / ops/gram.py), so the
+    # PHYSICAL traffic is 2x the logical bytes for this shape. The copy
+    # roofline below is measured on the SAME shape, so the fraction is
+    # padding-fair; the absolute GB/s figures are logical bytes.
 
-    R = 16
+    # Chain enough passes that the ~40 ms axon dispatch latency is noise
+    # (R=16 was measured to report 37 GB/s — pure latency pollution).
+    R = 1024
 
     # --- copy bandwidth: R chained read+write passes over (B, m) ---
     @jax.jit
     def copy_chain(y):
         def rep(acc, _):
-            return acc + jnp.float32(1e-7), jnp.sum(acc[0])
+            return acc + jnp.float32(1e-7), acc[0, 0]
         out, s = jax.lax.scan(rep, y, None, length=R)
         return jnp.sum(out[0]) + jnp.sum(s)
 
@@ -85,7 +92,7 @@ def main():
         float(np.asarray(copy_chain(yv)))
         ts.append((time.perf_counter() - t0) / R)
     t_copy = min(ts)
-    copy_bw = 2 * nbytes / t_copy  # read + write per pass
+    copy_bw = 2 * nbytes / t_copy  # read + write per pass (logical bytes)
     print(
         f"copy_bw      : {copy_bw / 1e9:8.1f} GB/s "
         f"({1e3 * t_copy:.3f} ms per read+write pass of {nbytes / 1e6:.1f} MB)",
@@ -94,7 +101,7 @@ def main():
 
     # --- the real headline solve, per lockstep iteration ---
     opts = lso.Options(iterations=50, x_tol=1e-6, f_tol=1e-6, g_tol=1e-5)
-    RS = 8
+    RS = 48  # ~5 lockstep iters/batch: enough batches to bury the 40 ms
 
     @jax.jit
     def run_varpro(x0_, yd_):
