@@ -355,6 +355,36 @@ def _coefficients_and_residual(P, y):
     p = P.shape[-1]
     eps = jnp.finfo(P.dtype).eps
     tiny = jnp.finfo(P.dtype).tiny
+    if p == 1:
+        # Single-column fast path: at p = 1 the generic route below
+        # simplifies exactly — the survival test is vacuous (one column
+        # cannot lose norm to prior columns: rdiag2 == colnorm2, so
+        # ``survive`` is always true when finite) and the probe pass is
+        # bitwise the differentiated pass — so the whole machinery
+        # (ridged-Cholesky arm + stop_gradient MGS probe + sanitized
+        # differentiated MGS, ~16 m-length vector passes) collapses to
+        # the 4-pass normalized projection below, with arithmetic
+        # IDENTICAL to the MGS route's (same floored R, same deflated
+        # residual — bitwise, so f32/f64 trajectories are unchanged).
+        # The degenerate-basis contract is kept: a numerically dead
+        # basis (phi -> 0) returns c = 0, r = y with finite derivatives;
+        # the computing branch runs on a sanitized unit column wherever
+        # dead, so no tangent can overflow through the unselected arm.
+        phi = P[..., 0]
+        n2_raw = jnp.sum(phi * phi, axis=-1)
+        alive = jax.lax.stop_gradient(n2_raw) > tiny / (eps * eps)
+        e0 = jnp.zeros(P.shape[-2], P.dtype).at[0].set(1.0)
+        phi_s = jnp.where(alive[..., None], phi, e0)
+        n2 = jnp.sum(phi_s * phi_s, axis=-1)
+        floor2 = (eps * n2 + tiny) * eps
+        R = jnp.sqrt(n2 + floor2)
+        q = phi_s / R[..., None]
+        z = jnp.sum(q * y, axis=-1)
+        c1 = z / R
+        r1 = y - z[..., None] * q
+        c = jnp.where(alive, c1, jnp.zeros_like(c1))[..., None]
+        r = jnp.where(alive[..., None], r1, y)
+        return c, r
     eye = jnp.eye(P.shape[-2], p, dtype=P.dtype)
     scale2_raw = jnp.mean(jnp.sum(P * P, axis=-2), axis=-1)
     # Dead test: below this, ridge ~ tiny and 1/sqrt(ridge) overflows
