@@ -12,9 +12,23 @@ to (B, m) — the eval was data-bound, and the duplicated grid reads cost
 ~16%/iteration — and the timed fetch moves only on-device-computed
 scalars (~40 ms of tunnel transfer removed). The fused
 residual+Jacobian schedule (one model evaluation/iteration,
-problem.res_jac_fn) was built and measured at 0.85-0.99x here — this
-workload's exp() is NOT the bottleneck — so the headline stays unfused;
-``--ablation`` records the comparison on-chip.
+problem.res_jac_fn) measured 0.82x on the JOINT route (its exp() is not
+the bottleneck there) — the joint route stays unfused and ``--ablation``
+records that comparison on-chip.
+
+Round 4 (late): three measured changes compound to ~5.6x on the default
+route. (1) The VarPro coefficient solve is specialized at p=1 (a
+bitwise-identical 4-pass normalized projection; models/separable.py) —
+marginal per-batch compute 2.43 -> 1.57 ms. (2) The default route runs
+the FUSED trial-evaluation schedule — on the reduced n=1 problem the
+iteration is evaluation-dominated and sharing the trial primal with the
+next linearization measured 1.15x (the same schedule the joint route
+rejects at 0.82x). (3) The chain length R rose 10 -> 640: the fixed
+~48 ms axon-tunnel dispatch latency was ~80% of the measured time at
+R=10 once the marginal cost fell to ~1.3 ms/batch (t = 48 + 1.3*R ms,
+measured; the asymptotic chip rate is ~80M fits/s and R=640 reaches
+~95% of it). The lockstep loop runs 5 iterations per batch at the 99%
+stop — 0.26 ms/lockstep-iteration, half of round 4's published 0.536.
 
 Late round 3: the headline adopts the framework's measured-fastest
 correct route for this workload — **variable projection** (the linear
@@ -200,8 +214,12 @@ def main():
             return raw["minimizer"], raw["converged"]
     else:
         # Default headline route (see module docstring): VarPro-reduced
-        # LM + gridded-exp basis evaluation. xdata stays host-side numpy
-        # — curve_fit_batch validates the uniform grid eagerly.
+        # LM + gridded-exp basis evaluation, fused trial-evaluation
+        # schedule (measured 1.15x on this route — the reduced n=1
+        # iteration is evaluation-dominated, so sharing the trial primal
+        # with the next linearization pays, unlike the joint route's
+        # 0.82x). xdata stays host-side numpy — curve_fit_batch
+        # validates the uniform grid eagerly.
         from leastsquaresoptim_jl_tpu.models import curve_fit_batch
 
         def solve_to_conv(x0, d):
@@ -209,14 +227,20 @@ def main():
                 "exp_saturation", xdata, d[1], x0,
                 optimizer=lso.LevenbergMarquardt(lso.Cholesky()),
                 options=opts, min_converged_fraction=conv_frac,
-                separable=True, gridded=True,
+                separable=True, gridded=True, fused=True,
             )
             return raw["minimizer"], raw["converged"]
 
     # Chain R full batches inside one dispatch (lax.map over perturbed
-    # starts): a single dispatch through the axon tunnel costs ~40 ms of
-    # fixed latency, so unchained timing mostly measures the tunnel.
-    R = 10
+    # starts): a single dispatch through the axon tunnel costs ~48 ms of
+    # fixed latency (measured round 4: t = 48 ms + marginal*R), so
+    # unchained timing mostly measures the tunnel, not the chip. Round 4
+    # raised the default route's chain from 10 to 640 once the marginal
+    # per-batch cost dropped to ~1.3 ms — at R=10 the tunnel term was
+    # still ~80% of the measured time. The slower routes keep shorter
+    # chains (their marginal cost is 5-10x, so the tunnel term is
+    # amortized sooner and reps stay seconds, not minutes).
+    R = 40 if joint else (160 if hard else 640)
     perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
 
     def run_batches(x0, d):
@@ -263,6 +287,12 @@ def main():
     #   2. the batched-mode reuse fix (unconditional J/cond branches in
     #      vmap lockstep) vs the single-solve code path under plain vmap.
     #      Measured 2026-08-17 (round 2): 1.7x.
+    # Ablations chain 10 batches/dispatch (the round-2/3 chain length):
+    # they compare routes against each other under one fixed chain, and
+    # the slow arms (joint naive, plain-vmap all-converge) would take
+    # minutes per rep at the headline's R.
+    perturbs_abl = jnp.linspace(1.0, 1.0 + 1e-4, 10, dtype=dtype)
+
     def bench_variant(batched):
         def one(x0, d):
             prob = lso.least_squares_problem(
@@ -276,7 +306,7 @@ def main():
         g = jax.jit(
             lambda x0, d: jax.lax.map(
                 lambda c: jax.vmap(one, in_axes=(0, (None, 0)))(x0 * c, d),
-                perturbs,
+                perturbs_abl,
             )[-1]
         )
         np.asarray(g(x0j, data))  # compile
@@ -298,7 +328,7 @@ def main():
                         min_converged_fraction=conv_frac, fused=fused,
                     )
                     return raw["minimizer"], raw["converged"]
-                mins, convs = jax.lax.map(one, perturbs)
+                mins, convs = jax.lax.map(one, perturbs_abl)
                 return jnp.sum(mins[-1]), jnp.sum(convs)
             gb = jax.jit(run_b)
             np.asarray(gb(x0j, data)[1])
@@ -360,7 +390,7 @@ def main():
                     )
                     return raw["minimizer"], raw["converged"]
 
-                mins, convs = jax.lax.map(one, perturbs)
+                mins, convs = jax.lax.map(one, perturbs_abl)
                 rel = jnp.abs(mins[-1] - true_j) / jnp.abs(true_j)
                 return jnp.median(rel), jnp.sum(convs)
 
@@ -402,7 +432,10 @@ def main():
 
     metric = "batched_lm_fits_to_convergence_per_second"
     workload = "100k exponential curve fits per batch"
-    route = "joint LM" if joint else "VarPro-reduced LM, gridded-exp eval"
+    route = (
+        "joint LM" if joint
+        else "VarPro-reduced LM (fused), gridded-exp eval"
+    )
     if hard:
         metric += "_hard"
         workload += ", 1% noise, 0.25-4x starts"

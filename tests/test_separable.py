@@ -644,3 +644,37 @@ def test_separable_fraction_stop_and_dogleg():
     )
     assert bool(jnp.all(rd["converged"]))
     assert np.allclose(np.asarray(rd["minimizer"]), betas, rtol=1e-6)
+
+
+def test_separable_fused_matches_unfused():
+    """``fused=True`` through curve_fit_batch (the round-4 headline
+    schedule: Gram-carry trial evaluation on the reduced problem) returns
+    the same minimizers/flags as the unfused schedule, on both the plain
+    vmap path and the fraction-stop loop, with and without gridded."""
+    xd, Y, betas, p0 = _exp_sat_batch(B=24, seed=21)
+    for gridded in (False, True):
+        kw = dict(
+            separable=True, gridded=gridded,
+            optimizer=lso.LevenbergMarquardt(lso.Cholesky()),
+            options=lso.Options(iterations=100),
+        )
+        r0 = curve_fit_batch("exp_saturation", xd, Y, p0, **kw)
+        r1 = curve_fit_batch("exp_saturation", xd, Y, p0, fused=True, **kw)
+        assert bool(jnp.all(r1["converged"]))
+        assert np.allclose(
+            np.asarray(r0["minimizer"]), np.asarray(r1["minimizer"]),
+            rtol=1e-12, atol=1e-12,
+        )
+        f0 = curve_fit_batch(
+            "exp_saturation", xd, Y, p0,
+            min_converged_fraction=1.0, **kw,
+        )
+        f1 = curve_fit_batch(
+            "exp_saturation", xd, Y, p0,
+            min_converged_fraction=1.0, fused=True, **kw,
+        )
+        assert bool(jnp.all(f1["converged"]))
+        assert np.allclose(
+            np.asarray(f0["minimizer"]), np.asarray(f1["minimizer"]),
+            rtol=1e-12, atol=1e-12,
+        )
