@@ -37,7 +37,7 @@ from .result import (
     OptimizationTrace,
     converged,
 )
-from .solver.base import LSMR, QR, Cholesky
+from .solver.base import LSMR, QR, BlockCholesky, Cholesky
 from . import models
 from .models.curves import curve_fit, curve_fit_batch
 from .loss import LOSSES, robustify
@@ -63,6 +63,7 @@ __all__ = [
     "LevenbergMarquardt",
     "QR",
     "Cholesky",
+    "BlockCholesky",
     "LSMR",
     "Options",
     "sparse_jacobian",

@@ -16,14 +16,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.operators import JacobianOperator
+from . import block_cholesky as _block_cholesky
 from . import cholesky as _cholesky
 from . import lsmr as _lsmr
 from . import qr as _qr
-from .base import LSMR, QR, AbstractSolver, Cholesky, default_solver
+from .base import (
+    LSMR,
+    QR,
+    AbstractSolver,
+    BlockCholesky,
+    Cholesky,
+    default_solver,
+)
 
 __all__ = [
-    "QR", "Cholesky", "LSMR", "AbstractSolver", "default_solver",
-    "solver_fns", "ISTOP_DIRECT",
+    "QR", "Cholesky", "BlockCholesky", "LSMR", "AbstractSolver",
+    "default_solver", "solver_fns", "ISTOP_DIRECT",
 ]
 
 # inner_istop value for direct (non-iterative) solves.
@@ -45,6 +53,14 @@ def solver_fns(tag: AbstractSolver):
         return (
             lambda op, y: _cholesky.solve_gn(op.J, y) + (direct,),
             lambda op, y, d: _cholesky.solve_damped(op.J, y, d) + (direct,),
+        )
+    if isinstance(tag, BlockCholesky):
+        s, meth = tag.block_size, tag.method
+        return (
+            lambda op, y: _block_cholesky.solve_gn(op, y, s, meth)
+            + (direct,),
+            lambda op, y, d: _block_cholesky.solve_damped(op, y, d, s, meth)
+            + (direct,),
         )
     if isinstance(tag, LSMR):
         def gn(op, y):

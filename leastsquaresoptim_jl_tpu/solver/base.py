@@ -63,6 +63,53 @@ class Cholesky(AbstractSolver):
 
 
 @dataclasses.dataclass(frozen=True)
+class BlockCholesky(AbstractSolver):
+    """Block-tridiagonal normal-equations direct solver (ops/block_tridiag.py).
+
+    For problems whose Gram matrix ``J'J`` is block-tridiagonal with
+    square blocks of ``block_size`` — 1-D BVP/chain models where residual
+    i couples only neighboring parameter blocks (MINPACK
+    broyden_tridiagonal/banded, discrete_boundary_value...). The TPU-native
+    replacement for the reference's sparse-CSC direct factorizations
+    (reference: test/nonlinearsolvers.jl:539-570 exercises Julia's
+    SuiteSparse ``\\`` on such Jacobians): the banded Gram is recovered
+    EXACTLY with 3*block_size structured probe matvec-pairs (no
+    materialized J needed — works matrix-free at n where LSMR is
+    otherwise the only option) and factored by a `lax.scan` of dense
+    (s, s) Cholesky steps.
+
+    Per solve: 6*block_size + 2 matvecs + O((n/s) * s^3) factor flops —
+    a fixed price vs LSMR's conditioning-dependent iteration count
+    (measured crossover: benchmarks/bench_block_cholesky.py).
+
+    Contract: the declared structure must hold (a wider true coupling
+    aliases into the recovered blocks silently); ``block_size`` must
+    divide n. Semidefinite Grams get the same scale-invariant jittered
+    retry as the dense Cholesky route.
+
+    ``method``: "scan" — sequential blocked LBL' Cholesky (banded
+    pbtrf shape; lowest flops, nb sequential steps); "cr" — block
+    cyclic reduction (ceil(log2 nb) fully batched elimination levels,
+    ~2x the flops — the TPU-native shape at large nb, where the scan's
+    tiny sequential steps are latency-bound); "auto" (default) — cr
+    above 64 block rows.
+    """
+
+    block_size: int = 1
+    method: str = "auto"
+
+    def __post_init__(self):
+        if self.block_size < 1:
+            raise ValueError(
+                f"block_size must be >= 1, got {self.block_size}"
+            )
+        if self.method not in ("auto", "scan", "cr"):
+            raise ValueError(
+                f"method must be 'auto', 'scan' or 'cr', got {self.method!r}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
 class LSMR(AbstractSolver):
     """Matrix-free LSMR solver tag (reference: src/solver/iterative_lsmr.jl).
 
