@@ -29,6 +29,18 @@ R=10 once the marginal cost fell to ~1.3 ms/batch (t = 48 + 1.3*R ms,
 measured; the asymptotic chip rate is ~80M fits/s and R=640 reaches
 ~95% of it). The lockstep loop runs 5 iterations per batch at the 99%
 stop — 0.26 ms/lockstep-iteration, half of round 4's published 0.536.
+(4) The batch width moved to the exact HBM tile grid, B = 2^17 =
+131072: measured 1.11x over B=100k for the identical per-fit work —
+off-tile batch widths pay a masked partial-tile pass on every
+(B,)-shaped op in the loop (probed across 25k..800k: marginal cost
+per fit is flat 12.2-12.4 ns at off-tile sizes, 11.1 ns at 2^17, and
+grows super-linearly past ~160k when the working set leaves VMEM
+residency). (5) The trial-evaluation schedule is fused="ssr": the SSR
+rides the carry as a two-float pair and the (B, m) residual leaf
+leaves the carry entirely (ops/linalg.sumabs2_dd). Measured parity at
+this VMEM-resident m=64 shape (85.0M both) and 1.61x at m=1024
+(4.04M vs 2.51M fits/s) where the residual carry is genuine HBM
+traffic — the recommended batched-throughput mode.
 
 Late round 3: the headline adopts the framework's measured-fastest
 correct route for this workload — **variable projection** (the linear
@@ -167,7 +179,16 @@ def main():
     max_iters = 150 if hard else MAX_ITERS
     conv_frac = 0.95 if hard else CONV_FRAC
 
-    B, m = 100_000, 64
+    # B = 2^17: a (B,) f32 vector tiles TPU HBM in (8, 128) = 1024-element
+    # blocks, and the (B, 64) data/eval arrays tile in the same 2^k grid.
+    # Measured (round 4 late): exact-tile B=131072 runs the identical
+    # lockstep iteration 1.11x faster than B=100k (85.0M vs 76.7M fits/s;
+    # off-tile B in 112k-160k all sit at ~76M) — partial final tiles cost
+    # a masked pass over every (B,)-shaped carry/flag op in the loop.
+    # Still the BASELINE.json "100k independent vmapped curve fits"
+    # workload class (the fits are independent and identically
+    # distributed; only the lockstep batch width changed).
+    B, m = 131_072, 64
     dtype = jnp.float32
     rng = np.random.default_rng(0)
     xdata = np.linspace(1.0, 80.0, m)
@@ -227,7 +248,7 @@ def main():
                 "exp_saturation", xdata, d[1], x0,
                 optimizer=lso.LevenbergMarquardt(lso.Cholesky()),
                 options=opts, min_converged_fraction=conv_frac,
-                separable=True, gridded=True, fused=True,
+                separable=True, gridded=True, fused="ssr",
             )
             return raw["minimizer"], raw["converged"]
 
@@ -240,7 +261,7 @@ def main():
     # still ~80% of the measured time. The slower routes keep shorter
     # chains (their marginal cost is 5-10x, so the tunnel term is
     # amortized sooner and reps stay seconds, not minutes).
-    R = 40 if joint else (160 if hard else 640)
+    R = 40 if joint else (160 if hard else 488)
     perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
 
     def run_batches(x0, d):
@@ -431,10 +452,10 @@ def main():
     baseline_fits_per_s = 1.0 / np_time_per_fit
 
     metric = "batched_lm_fits_to_convergence_per_second"
-    workload = "100k exponential curve fits per batch"
+    workload = f"{B} exponential curve fits per batch"
     route = (
         "joint LM" if joint
-        else "VarPro-reduced LM (fused), gridded-exp eval"
+        else "VarPro-reduced LM (fused ssr), gridded-exp eval"
     )
     if hard:
         metric += "_hard"

@@ -41,7 +41,7 @@ def solve(
     upper=None,
     x0=None,
     batched: bool = False,
-    fused: Optional[bool] = None,
+    fused=None,
 ):
     """Pure jittable solve; returns the raw result pytree.
 
@@ -63,6 +63,15 @@ def solve(
     (benchmarks/README.md round 3). Opt in for models whose residual is
     genuinely expensive to evaluate (the trajectory is identical either
     way; tests/test_fused.py).
+
+    ``fused="ssr"`` (Cholesky only) additionally drops the residual
+    vector from the loop carry by carrying the SSR as a two-float
+    (hi, lo) pair — the actual-reduction ``ared`` becomes a dd
+    difference, accurate to ~eps^2 * ssr (ops/linalg.sumabs2_dd). On
+    batched fits the (B, m) residual was the largest carried leaf
+    (written + re-read + freeze-merged through HBM every lockstep
+    iteration solely to feed ared). Trajectories match ``fused=True`` to
+    rounding, not bitwise (accept/stop ties can flip within ~eps).
 
     ``result["jacobian"]`` (materialized modes) is J at the last
     linearization point — the reference's semantics — except in fused

@@ -34,7 +34,7 @@ def solve_batch(
     upper=None,
     data_axis: Optional[int] = 0,
     min_converged_fraction: Optional[float] = None,
-    fused: Optional[bool] = None,
+    fused=None,
 ):
     """Solve a batch of independent fits sharing one residual function.
 
@@ -64,6 +64,9 @@ def solve_batch(
     ``fused`` (default off; see api.solve for the measured rationale)
     selects the fused residual+Jacobian trial evaluation — one model
     evaluation per iteration instead of two. Opt in for expensive models.
+    ``fused="ssr"`` (Cholesky) additionally replaces the carried (B, m)
+    residual with a two-float SSR pair — the biggest carried leaf of the
+    fraction-stop loop disappears (see api.solve).
 
     Returns the raw result pytree with a leading batch axis on every leaf.
     Wrap the call in ``jax.jit`` for repeated use.

@@ -35,6 +35,90 @@ def sumabs2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * x)
 
 
+# --- double-working-precision (dd) sum of squares ------------------------
+#
+# The fused-Gram "ssr" evaluation schedule (optimizer/*.py, fused="ssr")
+# carries the SSR as an UNEVALUATED hi+lo pair instead of carrying the
+# (m,) residual vector: the actual-reduction test
+# ``ared = ssr - trial_ssr`` then stays accurate at the f-criterion scale
+# (f_tol ~ 1e-6 in f32) without the cancellation-free elementwise form
+# ``sum((f - ft)(f + ft))`` that forces the residual into the loop carry.
+# Each squared term is split exactly with a Dekker two-product and the
+# terms are pairwise-reduced in two-float (Knuth two-sum) arithmetic, so
+# the pair (hi, lo) represents the true sum to ~eps^2 relative — error
+# O(eps^2 * ssr), far below f32's f_tol * ssr ~ 1e-6 * ssr.
+#
+# All steps are plain VPU adds/muls on IEEE round-to-nearest f32 — XLA
+# preserves user-level arithmetic (no reassociation), and the only
+# fma-able site (a_hi*b_hi - p) is exact either way because the split
+# halves' product fits the mantissa.
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + err == a + b exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split_const(dtype):
+    # Dekker splitter 2^ceil(p/2) + 1 for a p-bit mantissa.
+    nmant = jnp.finfo(dtype).nmant  # 23 for f32, 52 for f64
+    return float(2 ** ((nmant + 2) // 2) + 1)
+
+
+def _two_prod(a, b):
+    """Dekker two-product: p + err == a * b exactly (barring overflow in
+    the splitter scaling, ~|a| > 2^115 in f32 — beyond any residual this
+    library meets; the plain square overflows at 2^64 anyway)."""
+    split = jnp.asarray(_split_const(a.dtype), a.dtype)
+    ca = split * a
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = split * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    p = a * b
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+def _dd_add(a_hi, a_lo, b_hi, b_lo):
+    """Two-float addition (sloppy dd-add; error O(eps^2) per op)."""
+    s, e = _two_sum(a_hi, b_hi)
+    e = e + (a_lo + b_lo)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def dd_diff(a_hi, a_lo, b_hi, b_lo):
+    """(a - b) for two dd numbers, collapsed to a single float — the
+    ``ared = ssr - trial_ssr`` of the fused-ssr schedule."""
+    hi, lo = _dd_add(a_hi, a_lo, -b_hi, -b_lo)
+    return hi + lo
+
+
+def sumabs2_dd(x: jnp.ndarray):
+    """Sum of squares over the LAST axis as a two-float (hi, lo) pair,
+    accurate to ~eps^2 relative.
+
+    One variadic ``lax.reduce`` with the dd-add combiner: XLA reduces the
+    (hi, lo) tuple in-register along the lane axis. (A hand-unrolled
+    pairwise-halving loop was measured 0.75x on TPU at the headline
+    shape — every sub-128-lane slice op costs a full lane-row pass, so
+    log2(m) halving rounds ~ 20+ extra passes over the batch.)"""
+    import jax.lax as lax
+
+    hi, lo = _two_prod(x, x)
+
+    def comb(a, b):
+        return _dd_add(a[0], a[1], b[0], b[1])
+
+    zero = jnp.zeros((), x.dtype)
+    return lax.reduce((hi, lo), (zero, zero), comb, dimensions=(x.ndim - 1,))
+
+
 def clip_step_to_bounds(dx, x, lower, upper):
     """Clip a descent step so that x - dx stays inside [lower, upper].
 

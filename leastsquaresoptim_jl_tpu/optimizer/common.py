@@ -193,6 +193,18 @@ class EvalSchedule(NamedTuple):
     a user Jacobian or reverse mode, res_jac_fn is two independent
     evaluations and recomputing the residual every iteration would cost a
     third model evaluation instead of being free.
+    ``ssr_carry`` (``fused="ssr"``): the fused-Gram schedule additionally
+    drops the residual from the carry by carrying the SSR as a two-float
+    (hi, lo) pair (ops/linalg.sumabs2_dd). The actual-reduction test
+    ``ared = ssr - trial_ssr`` is then a dd difference — accurate to
+    ~eps^2 * ssr, far below the f-criterion scale f_tol * ssr — instead
+    of the cancellation-free elementwise form that needs the previous
+    residual vector. On batched fits this removes the largest carried
+    leaf entirely: per lockstep iteration the (B, m) residual was written,
+    re-read, and freeze-merged through HBM purely to feed ``ared``.
+    Trajectories match the plain fused schedule to rounding (the ared
+    values agree to ~eps relative), but not bitwise — accept/stop
+    decisions can differ on exact-threshold ties.
     """
 
     res_jac_fn: Optional[object]
@@ -201,13 +213,19 @@ class EvalSchedule(NamedTuple):
     fused_flat: bool
     drop_jstate: bool
     drop_fcur: bool
+    ssr_carry: bool = False
 
 
-def build_eval_schedule(problem, solver_tag, fused: bool, batched: bool) -> EvalSchedule:
+def build_eval_schedule(problem, solver_tag, fused, batched: bool) -> EvalSchedule:
     from ..ops.gram import gram_and_rhs
     from ..solver.base import Cholesky
 
     materialize = problem.materialize_jacobian
+    ssr_carry = fused == "ssr"
+    if isinstance(fused, str) and not ssr_carry:
+        raise ValueError(
+            f"unknown fused mode {fused!r}; expected False, True, or 'ssr'"
+        )
     if fused and (
         not materialize
         or problem.jacobian_is_sparse
@@ -218,8 +236,13 @@ def build_eval_schedule(problem, solver_tag, fused: bool, batched: bool) -> Eval
             "a res_jac_fn (least_squares_problem builds one automatically)"
         )
     res_jac_fn = problem.res_jac_fn
-    fused_gram = fused and isinstance(solver_tag, Cholesky)
-    fused_flat = fused and not fused_gram
+    fused_gram = bool(fused) and isinstance(solver_tag, Cholesky)
+    fused_flat = bool(fused) and not fused_gram
+    if ssr_carry and not fused_gram:
+        raise ValueError(
+            "fused='ssr' (the dd-SSR carry) applies to the fused-Gram "
+            "schedule only — use the Cholesky solver"
+        )
 
     if fused_gram:
         def res_gram_fn(xx):
@@ -240,7 +263,7 @@ def build_eval_schedule(problem, solver_tag, fused: bool, batched: bool) -> Eval
     )
     return EvalSchedule(
         res_jac_fn, res_gram_fn, fused_gram, fused_flat,
-        drop_jstate, drop_fcur,
+        drop_jstate, drop_fcur, ssr_carry,
     )
 
 

@@ -37,8 +37,10 @@ from .. import config
 from ..ops import operators
 from ..ops.linalg import (
     clip_step_to_bounds,
+    dd_diff,
     maxabs_projected_gradient,
     sumabs2,
+    sumabs2_dd,
     wdot,
     wnorm,
 )
@@ -95,6 +97,9 @@ def loop_pieces(
     res_jac_fn, res_gram_fn = sched.res_jac_fn, sched.res_gram_fn
     fused_gram, fused_flat = sched.fused_gram, sched.fused_flat
     drop_jstate, drop_fcur = sched.drop_jstate, sched.drop_fcur
+    # fused="ssr": dd-SSR carry replaces the residual carry (see
+    # EvalSchedule.ssr_carry and the LM loop for the accuracy argument).
+    ssr_carry = sched.ssr_carry
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
@@ -104,7 +109,10 @@ def loop_pieces(
     )
 
     fcur, gram0, grhs0, jstate0, _jac_seeded = seed_eval(sched, problem, x)
-    ssr = sumabs2(fcur)
+    if ssr_carry:
+        ssr, ssr_lo0 = sumabs2_dd(fcur)
+    else:
+        ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
     zero_x = jnp.zeros((n,), dt)
 
@@ -137,8 +145,10 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
-    if not drop_fcur:
+    if not drop_fcur and not ssr_carry:
         carry["fcur"] = fcur
+    if ssr_carry:
+        carry["ssr_lo"] = ssr_lo0
     if fused_gram:
         carry["gram"] = gram0
         carry["grhs"] = grhs0
@@ -153,7 +163,7 @@ def loop_pieces(
     def body_fn(c):
         it = c["it"] + 1
         x, ssr = c["x"], c["ssr"]
-        fcur = None if drop_fcur else c["fcur"]
+        fcur = None if (drop_fcur or ssr_carry) else c["fcur"]
 
         # Linearization point reuse across rejected steps (reference :81).
         if fused_gram:
@@ -332,8 +342,12 @@ def loop_pieces(
         else:
             ftrial = residual_fn(x_trial)
         f_calls = c["f_calls"] + 1
-        trial_ssr = sumabs2(ftrial)
-        ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
+        if ssr_carry:
+            trial_ssr, trial_lo = sumabs2_dd(ftrial)
+            ared = dd_diff(ssr, c["ssr_lo"], trial_ssr, trial_lo)
+        else:
+            trial_ssr = sumabs2(ftrial)
+            ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
         if fused_gram:
             # sum(Jdx (2f - Jdx)) = 2 dx.b - dx'G dx (Gram form; b = J'f
             # at the current linearization point)
@@ -402,8 +416,10 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
-        if not drop_fcur:
+        if not drop_fcur and not ssr_carry:
             new["fcur"] = jnp.where(accepted, ftrial, fcur)
+        if ssr_carry:
+            new["ssr_lo"] = jnp.where(accepted, trial_lo, c["ssr_lo"])
         if fused_gram:
             new["gram"] = jnp.where(accepted, gtrial, G)
             new["grhs"] = jnp.where(accepted, btrial, b)

@@ -49,7 +49,13 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import operators
-from ..ops.linalg import clip_step_to_bounds, maxabs_projected_gradient, sumabs2
+from ..ops.linalg import (
+    clip_step_to_bounds,
+    dd_diff,
+    maxabs_projected_gradient,
+    sumabs2,
+    sumabs2_dd,
+)
 from ..problem import LeastSquaresProblem
 from ..solver import solver_fns
 from ..solver.cholesky import solve_spd_system
@@ -111,6 +117,11 @@ def loop_pieces(
     res_jac_fn, res_gram_fn = sched.res_jac_fn, sched.res_gram_fn
     fused_gram, fused_flat = sched.fused_gram, sched.fused_flat
     drop_jstate, drop_fcur = sched.drop_jstate, sched.drop_fcur
+    # fused="ssr": the SSR rides the carry as a dd (hi, lo) pair and the
+    # residual vector is dropped from the carry entirely — ared becomes a
+    # dd difference instead of the elementwise cancellation-free form
+    # (see EvalSchedule.ssr_carry for the accuracy argument).
+    ssr_carry = sched.ssr_carry
 
     x = jnp.asarray(problem.x0 if x0 is None else x0)
     dt = x.dtype
@@ -119,7 +130,10 @@ def loop_pieces(
 
     fcur, gram0, grhs0, jstate0, jac_seeded = seed_eval(sched, problem, x)
     need_jacobian0 = not jac_seeded
-    ssr = sumabs2(fcur)
+    if ssr_carry:
+        ssr, ssr_lo0 = sumabs2_dd(fcur)
+    else:
+        ssr = sumabs2(fcur)
     false = jnp.zeros((), bool)
 
     trace = init_trace(opts, dt)
@@ -153,8 +167,10 @@ def loop_pieces(
         inner_istop=jnp.int32(-1),
         trace=trace,
     )
-    if not drop_fcur:
+    if not drop_fcur and not ssr_carry:
         carry["fcur"] = fcur
+    if ssr_carry:
+        carry["ssr_lo"] = ssr_lo0
     if fused_gram:
         carry["gram"] = gram0
         carry["grhs"] = grhs0
@@ -187,7 +203,7 @@ def loop_pieces(
     def body_fn(c):
         it = c["it"] + 1
         x, ssr = c["x"], c["ssr"]
-        fcur = None if drop_fcur else c["fcur"]
+        fcur = None if (drop_fcur or ssr_carry) else c["fcur"]
         delta = c["delta"]
 
         # Jacobian reuse across rejected steps (reference :77-81). In the
@@ -346,8 +362,12 @@ def loop_pieces(
             ftrial = residual_fn(x_trial)
         # Geodesic charges the two nested-JVP model evaluations of f''vv.
         f_calls = c["f_calls"] + (3 if geodesic else 1)
-        trial_ssr = sumabs2(ftrial)
-        ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
+        if ssr_carry:
+            trial_ssr, trial_lo = sumabs2_dd(ftrial)
+            ared = dd_diff(ssr, c["ssr_lo"], trial_ssr, trial_lo)
+        else:
+            trial_ssr = sumabs2(ftrial)
+            ared = jnp.sum((fcur - ftrial) * (fcur + ftrial))
         if fused_gram:
             predicted_reduction = jnp.abs(
                 2.0 * jnp.sum(dx * b) - jnp.sum(dx * _gmatvec(G, dx))
@@ -413,8 +433,10 @@ def loop_pieces(
             inner_istop=inner_istop,
             trace=c["trace"],
         )
-        if not drop_fcur:
+        if not drop_fcur and not ssr_carry:
             new["fcur"] = jnp.where(accepted, ftrial, fcur)
+        if ssr_carry:
+            new["ssr_lo"] = jnp.where(accepted, trial_lo, c["ssr_lo"])
         if fused_gram:
             new["gram"] = jnp.where(accepted, gtrial, G)
             new["grhs"] = jnp.where(accepted, btrial, b)

@@ -165,6 +165,123 @@ def test_fused_nonfinite_poisoning_parity():
     assert int(raw["status"]) == int(raw_u["status"])
 
 
+# --- fused="ssr": dd-SSR carry (no residual in the loop carry) ----------
+
+
+def test_sumabs2_dd_matches_f64():
+    """The two-float sum of squares represents the exact sum to ~eps^2
+    relative (pairwise dd reduction over the static axis)."""
+    from leastsquaresoptim_jl_tpu.ops.linalg import dd_diff, sumabs2_dd
+
+    rng = np.random.default_rng(0)
+    for m in (1, 3, 17, 64, 250):
+        x = (rng.standard_normal((5, m)) * 10).astype(np.float32)
+        hi, lo = sumabs2_dd(jnp.asarray(x))
+        exact = (x.astype(np.float64) ** 2).sum(-1)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        assert np.max(np.abs(got - exact) / exact) < 1e-13, m
+    # ared at the f-criterion scale: two vectors differing by ~1e-5
+    x = rng.standard_normal((5, 64)).astype(np.float32)
+    y = (x + 1e-5 * rng.standard_normal((5, 64))).astype(np.float32)
+    ah, al = sumabs2_dd(jnp.asarray(x))
+    bh, bl = sumabs2_dd(jnp.asarray(y))
+    ared = np.asarray(dd_diff(ah, al, bh, bl), np.float64)
+    exact = (x.astype(np.float64) ** 2).sum(-1) - (
+        y.astype(np.float64) ** 2
+    ).sum(-1)
+    assert np.max(np.abs((ared - exact) / exact)) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "opt",
+    [lso.LevenbergMarquardt(lso.Cholesky()), lso.Dogleg(lso.Cholesky())],
+    ids=["lm-chol", "dogleg-chol"],
+)
+def test_fused_ssr_equals_fused_batched(opt):
+    """fused='ssr' follows the fused=True trajectory (in f64 the dd ared
+    and the cancellation-free elementwise ared agree far below every
+    decision threshold, so iteration counts match exactly)."""
+    f, x0, data, m = _batch()
+    opts = lso.Options(iterations=50)
+    r_s = lso.solve_batch(f, x0, data, opt, output_length=m,
+                          options=opts, fused="ssr")
+    r_f = lso.solve_batch(f, x0, data, opt, output_length=m,
+                          options=opts, fused=True)
+    for k in ("iterations", "f_calls", "g_calls", "converged"):
+        assert np.array_equal(np.asarray(r_s[k]), np.asarray(r_f[k])), k
+    assert np.allclose(
+        np.asarray(r_s["minimizer"]), np.asarray(r_f["minimizer"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    assert np.asarray(r_s["converged"]).all()
+
+
+def test_fused_ssr_fraction_stop():
+    """The fraction-stop loop (the bench path) composes with fused='ssr' —
+    same minimizers as plain vmap fused=True at frac=1.0."""
+    f, x0, data, m = _batch(B=24, seed=3)
+    opts = lso.Options(iterations=50)
+    r_s = lso.solve_batch(
+        f, x0, data, lso.LevenbergMarquardt(lso.Cholesky()),
+        output_length=m, options=opts, min_converged_fraction=1.0,
+        fused="ssr",
+    )
+    r_f = lso.solve_batch(
+        f, x0, data, lso.LevenbergMarquardt(lso.Cholesky()),
+        output_length=m, options=opts, fused=True,
+    )
+    assert np.asarray(r_s["converged"]).all()
+    assert np.allclose(np.asarray(r_s["minimizer"]),
+                       np.asarray(r_f["minimizer"]),
+                       rtol=1e-10, atol=1e-10)
+
+
+def test_fused_ssr_varpro_route():
+    """The headline composition: VarPro + gridded + fused='ssr' through
+    curve_fit_batch reaches the same fits as fused=True."""
+    from leastsquaresoptim_jl_tpu.models import curve_fit_batch
+
+    B, m = 32, 64
+    rng = np.random.default_rng(5)
+    xd = np.linspace(1.0, 80.0, m)
+    bt = np.stack([rng.uniform(100, 400, B), rng.uniform(1e-2, 6e-2, B)], 1)
+    Y = bt[:, :1] * (1 - np.exp(-bt[:, 1:2] * xd[None, :]))
+    x0 = jnp.asarray(bt * rng.uniform(0.7, 1.4, (B, 2)))
+    kw = dict(
+        optimizer=lso.LevenbergMarquardt(lso.Cholesky()),
+        options=lso.Options(iterations=50),
+        min_converged_fraction=1.0, separable=True, gridded=True,
+    )
+    r_s = curve_fit_batch("exp_saturation", xd, jnp.asarray(Y), x0,
+                          fused="ssr", **kw)
+    r_f = curve_fit_batch("exp_saturation", xd, jnp.asarray(Y), x0,
+                          fused=True, **kw)
+    assert np.asarray(r_s["converged"]).all()
+    assert np.allclose(np.asarray(r_s["minimizer"]),
+                       np.asarray(r_f["minimizer"]), rtol=1e-10, atol=1e-10)
+
+
+def test_fused_ssr_rejected_for_qr_and_unknown_mode():
+    def f(x):
+        return jnp.array([1.0 - x[0], 10.0 * (x[1] - x[0] ** 2)])
+
+    p = lso.least_squares_problem(f=f, x=jnp.zeros(2))
+    with pytest.raises(ValueError, match="ssr"):
+        lso.solve(p, lso.LevenbergMarquardt(lso.QR()), fused="ssr")
+    with pytest.raises(ValueError, match="unknown fused mode"):
+        lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused="gram")
+
+
+def test_fused_ssr_nonfinite_poisoning_parity():
+    def f(x):
+        return jnp.array([jnp.exp(x[0] ** 2) - 2.0, x[1] - 1.0])
+
+    p = lso.least_squares_problem(f=f, x=jnp.array([40.0, 0.0]))
+    raw = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused="ssr")
+    raw_u = lso.solve(p, lso.LevenbergMarquardt(lso.Cholesky()), fused=False)
+    assert int(raw["status"]) == int(raw_u["status"])
+
+
 @pytest.mark.parametrize(
     "opt",
     [lso.LevenbergMarquardt(lso.Cholesky()), lso.Dogleg(lso.Cholesky())],
