@@ -193,12 +193,17 @@ def test_collective_structure_full_solve_loop():
       * inner LSMR body: exactly 2 all-reduce ops — J'u (rmatvec) and the
         u-space norm beta; Jv and all v-space scalars are local. They are
         data-dependent, so XLA cannot merge them.
-      * outer LM body: exactly 5 — the column norms (inside the
+      * outer LM body: exactly 4 — the column norms (inside the
         need_jacobian lax.cond, so rejected steps skip both its compute
         and its collective — the colnorms-carry reuse), the gradient J'f
-        rmatvec, LSMR-init ||b|| and init rmatvec, and one tuple all-reduce
-        where XLA merges the remaining independent row reductions
-        (trial ssr, ared, pred).
+        rmatvec, the LSMR-init rmatvec, and one tuple all-reduce where
+        XLA merges the remaining independent row reductions (LSMR-init
+        ||b||, trial ssr, ared, pred). This was 5 before the round-4
+        probe-reuse change: the LSMR Jacobi preconditioner used to call
+        op.colnorms2() again inside solve_damped — the lax.cond boundary
+        blocked CSE with the cond's colnorms, costing a duplicate
+        all-reduce every outer iteration; the carried estimate is now
+        injected into the operator (optimizer/levenberg_marquardt.py).
       * one initial-ssr all-reduce outside both loops.
     A regression here means a sharding annotation leaked and XLA started
     gathering rows instead of reducing partials.
@@ -240,7 +245,7 @@ def test_collective_structure_full_solve_loop():
     ]
     outside = [p for p in paths if "/while/body/" not in p]
     assert len(inner_body) == 2, (inner_body, paths)
-    assert len(outer_body) == 5, (outer_body, paths)
+    assert len(outer_body) == 4, (outer_body, paths)
     assert len(outside) == 1, (outside, paths)
     # no row gathers anywhere: scale-out must reduce, never materialize
     assert "all-gather" not in txt
