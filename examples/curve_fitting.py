@@ -114,6 +114,29 @@ def main():
     se = np.sqrt(np.diag(covariance(rv, problem=pj)))
     print("varpro full-parameter std errors:", se)
 
+    # 8b. throughput mode for bulk fitting: the fused-ssr schedule (one
+    # model evaluation per iteration; the (B, m) residual never rides the
+    # loop carry — SSR is carried as a two-float pair). Same fits; the
+    # headline bench route (bench.py). Measured 1.61x at m=1024 where the
+    # residual carry is real HBM traffic.
+    raw_ssr = lso.curve_fit_batch(
+        "exp_saturation", x, Y, betas * 1.3,
+        optimizer=lso.LevenbergMarquardt(lso.Cholesky()),
+        separable=True, gridded=True, fused="ssr",
+        min_converged_fraction=0.99,
+    )
+    ok_ssr = np.mean(np.asarray(raw_ssr["converged"]))
+    print(f"fused-ssr throughput route: {100 * ok_ssr:.1f}% converged")
+
+    # 8c. start-free fitting: p0="auto" computes a closed-form start from
+    # the data itself (models/init.py; here Jacquelin's integral
+    # regression recovers both exponential rates without any user input)
+    xs0 = jnp.linspace(0.0, 6.0, 64)
+    ys0 = 2.5 * jnp.exp(-0.5 * xs0) + 1.2 * jnp.exp(-2.2 * xs0)
+    r_a = lso.curve_fit("exp_sum_2", xs0, ys0, "auto", separable=True)
+    print("auto-start exp_sum_2:", np.round(np.asarray(r_a.minimizer), 4),
+          "converged:", r_a.converged)
+
     # 9. geodesic acceleration: half the second-order correction added to
     # each LM step — ~2x fewer iterations on sloppy exponential sums
     # (here a 2-term sum with close rates; canonicalized rates ascending)

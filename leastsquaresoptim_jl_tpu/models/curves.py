@@ -134,6 +134,13 @@ def curve_fit(
     """
     from ..api import _array_fingerprint
 
+    if isinstance(p0, str):
+        # Data-driven starts (models/init.py; p0="auto").
+        if p0 != "auto":
+            raise ValueError(f"p0 must be an array or 'auto'; got {p0!r}")
+        from .init import guess_p0
+
+        p0 = guess_p0(model, xdata, ydata)
     model_key = model  # name string, or callable keyed by identity
     if separable:
         return _curve_fit_separable(
@@ -490,6 +497,14 @@ def curve_fit_batch(
     ``jacobian`` refer to the reduced (nonlinear-parameter) problem.
     Composes with ``gridded=True`` for the exponential family.
     """
+    if isinstance(p0, str):
+        # Data-driven starts (models/init.py): closed-form per-model
+        # estimates, batched over ydata's leading axes.
+        if p0 != "auto":
+            raise ValueError(f"p0 must be an array or 'auto'; got {p0!r}")
+        from .init import guess_p0
+
+        p0 = guess_p0(model, xdata, ydata)
     gridded_name = model if gridded else None
     sep = None
     if separable:
