@@ -221,8 +221,17 @@ def main():
     x0j = jnp.asarray(x0s, dtype)
     true_j = jnp.asarray(betas_true, dtype)
 
+    # radius: the default initial trust region (Delta0=10, reference
+    # levenberg_marquardt.jl:42) trust-limits the FIRST step on this
+    # benign workload — one whole lockstep iteration (of five) spent
+    # growing the radius. Delta0=100 converges in 4 with identical
+    # accuracy (measured: 95.8M vs 82.2M fits/s, medrel 4.00e-6 vs
+    # 3.93e-6, 100% converged both; 1e4 and 1e8 measure the same as 100,
+    # so 100 is the mild choice). The hard/joint variants keep the
+    # default — their far starts are what the conservative radius is for.
     opts = lso.Options(
-        iterations=max_iters, x_tol=X_TOL, f_tol=F_TOL, g_tol=G_TOL
+        iterations=max_iters, x_tol=X_TOL, f_tol=F_TOL, g_tol=G_TOL,
+        radius=(None if (hard or joint) else 100.0),
     )
 
     if joint:
