@@ -164,9 +164,9 @@ def _init_exp_sum_2(x, y):
     # b0 exp(-b1 x) + b2 exp(-b3 x): Jacquelin's integral regression.
     # The model satisfies y'' = -(b1+b3) y' - b1 b3 y; integrating twice
     # gives the LINEAR identity  y = A*IIy + B*Iy + C*x + D  with
-    # A = b1*b3, B = -(b1+b3) and (Iy, IIy) the single/double cumulative
+    # A = -b1*b3, B = -(b1+b3) and (Iy, IIy) the single/double cumulative
     # integrals of the data. Regressing y on [IIy, Iy, x, 1] recovers the
-    # rates as roots of r^2 + B r + A — integration SMOOTHS the data, so
+    # rates as roots of r^2 + B r - A — integration SMOOTHS the data, so
     # unlike Prony's shift recurrence this survives realistic noise, and
     # it needs no uniform grid. Amplitudes come from one ridged 2x2
     # linear solve on the recovered basis; rates are clamped positive,
@@ -190,15 +190,17 @@ def _init_exp_sum_2(x, y):
 
     coef = spd_chol_solve(G + ridge * jnp.eye(4, dtype=y.dtype), rhs)
     A, Bc = coef[..., 0], coef[..., 1]
-    disc = jnp.clip(Bc * Bc - 4.0 * A, 0.0, None)  # complex -> double root
-    rate_slow = 0.5 * (-Bc - jnp.sqrt(disc))  # roots of r^2 + B r + A
+    disc = jnp.clip(Bc * Bc + 4.0 * A, 0.0, None)  # complex -> double root
+    rate_slow = 0.5 * (-Bc - jnp.sqrt(disc))  # roots of r^2 + B r - A
     rate_fast = 0.5 * (-Bc + jnp.sqrt(disc))
-    span = max(float(jnp.max(jnp.abs(x))), 1.0)
-    dxmin = max(float(jnp.min(jnp.abs(jnp.diff(x, axis=-1)))), 1e-30)
-    floor = jnp.asarray(1e-3 / span, y.dtype)
+    span = jnp.maximum(jnp.max(jnp.abs(x)), 1.0)
+    dxmin = jnp.maximum(
+        jnp.min(jnp.abs(jnp.diff(x, axis=-1))), 1e-30
+    )
+    floor = (1e-3 / span).astype(y.dtype)
     # Resolvability cap: a term decaying to ~1% within one sample step is
     # indistinguishable from any faster one.
-    cap = jnp.asarray(5.0 / dxmin, y.dtype)
+    cap = (5.0 / dxmin).astype(y.dtype)
     rate_slow = jnp.clip(rate_slow, floor, cap / 1.5)
     rate_fast = jnp.clip(rate_fast, rate_slow * 1.5, cap)
     e1 = jnp.exp(-rate_slow[..., None] * x)

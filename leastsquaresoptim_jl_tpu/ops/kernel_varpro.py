@@ -116,9 +116,12 @@ def _iteration(phi_fn, dphi_fn, x, y, state, tols, max_iters):
     accepted = rho > config.MIN_STEP_QUALITY
     step_finite = jnp.isfinite(dx)
 
+    # Priority-gated like optimizer/common.assess_convergence: the three
+    # flags are mutually exclusive (f beats x beats g), so the per-fit
+    # criterion reported matches the lax route's bit for bit.
     f_conv = accepted & (jnp.abs(ared) <= f_tol * (jnp.abs(ssr) + f_tol))
-    x_conv = jnp.abs(dx) <= x_tol
-    g_conv = maxabs_gr <= g_tol
+    x_conv = ~f_conv & (jnp.abs(dx) <= x_tol)
+    g_conv = ~f_conv & ~x_conv & (maxabs_gr <= g_tol)
     conv = f_conv | x_conv | g_conv
 
     grow = jnp.minimum(
@@ -248,13 +251,16 @@ def varpro_lm_p1_kernel_solve(
 
     import math
 
-    need_count = int(math.ceil(min_converged_fraction * Bp - 1e-9))
-    need = jnp.int32(min(Bp, max(1, need_count)))
+    # Count done over the TRUE batch only: pad rows are copies of fit 0,
+    # so including them would weight fit 0 up to block_fits times and
+    # shift the stop point vs batch.py's contract when B % block_fits != 0.
+    need_count = int(math.ceil(min_converged_fraction * B - 1e-9))
+    need = jnp.int32(min(B, max(1, need_count)))
     max_launches = -(-int(iterations) // k_iters)
 
     def cond(carry):
         st, launches = carry
-        ndone = jnp.sum(st[:, _DONE].astype(jnp.int32))
+        ndone = jnp.sum(st[:B, _DONE].astype(jnp.int32))
         return (ndone < need) & (launches < max_launches)
 
     def body(carry):

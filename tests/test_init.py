@@ -121,6 +121,48 @@ def test_exp_sum_2_integral_regression_noise_robust():
     assert conv >= 9
 
 
+def test_exp_sum_2_guess_recovers_rates_directly():
+    """The integral-regression GUESS itself (not the rescuing LM solve)
+    must recover the rates on clean data — regression for the round-4
+    sign error (A = -b1*b3, so the rates are roots of r^2 + B r - A;
+    the old code solved r^2 + B r + A and returned garbage rates that
+    only benign LM basins forgave)."""
+    x = np.linspace(0.0, 6.0, 64)
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        bt = np.array([
+            rng.uniform(1, 4), rng.uniform(0.2, 0.8),
+            rng.uniform(0.5, 2), rng.uniform(1.5, 3.5),
+        ])
+        y = np.asarray(CURVES["exp_sum_2"](jnp.asarray(x), jnp.asarray(bt)))
+        g = np.asarray(guess_p0("exp_sum_2", x, y), np.float64)
+        # rates land within tens of percent of truth, not merely "a
+        # finite clamp floor" — the basin-membership contract made sharp
+        rel_slow = abs(g[1] - bt[1]) / bt[1]
+        rel_fast = abs(g[3] - bt[3]) / bt[3]
+        assert rel_slow < 0.25, (g, bt)
+        assert rel_fast < 0.25, (g, bt)
+
+
+def test_exp_sum_2_guess_trace_safe():
+    """guess_p0('exp_sum_2') works under jit and vmap (the module
+    docstring's 'batched and jit/vmap-safe' claim — the old span/dxmin
+    used Python float() and raised ConcretizationTypeError)."""
+    import jax
+
+    x, y, bt = _data("exp_sum_2")
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    g_eager = guess_p0("exp_sum_2", xj, yj)
+    g_jit = jax.jit(lambda a, b: guess_p0("exp_sum_2", a, b))(xj, yj)
+    np.testing.assert_allclose(np.asarray(g_jit), np.asarray(g_eager))
+    Y = jnp.stack([yj, yj * 1.5])
+    g_vmap = jax.vmap(lambda b: guess_p0("exp_sum_2", xj, b))(Y)
+    assert g_vmap.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.asarray(g_vmap[0]), np.asarray(g_eager), rtol=1e-6
+    )
+
+
 def test_auto_rejects_unknown_and_custom_models():
     x, y, _ = _data("power")
     with pytest.raises(ValueError, match="auto"):

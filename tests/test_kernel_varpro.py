@@ -129,6 +129,42 @@ def test_kernel_fraction_stop():
     assert np.asarray(out["converged"])[20:].mean() > 0.85
 
 
+def test_kernel_convergence_flags_mutually_exclusive():
+    """The per-fit f/x/g flags are priority-gated exactly like
+    optimizer/common.assess_convergence (f beats x beats g): at most one
+    flag is set per fit, and 'converged' is their union."""
+    xd, Y, p0, _ = _problem()
+    out = _kernel_solve(xd, Y, p0[:, 1])
+    f = np.asarray(out["f_converged"])
+    x = np.asarray(out["x_converged"])
+    g = np.asarray(out["g_converged"])
+    nset = f.astype(int) + x.astype(int) + g.astype(int)
+    assert nset.max() <= 1
+    np.testing.assert_array_equal(np.asarray(out["converged"]), nset == 1)
+
+
+def test_kernel_fraction_stop_counts_true_batch_only():
+    """When B % block_fits != 0, pad rows are copies of fit 0. The stop
+    quorum must be counted over the TRUE B rows — if fit 0 is a straggler
+    the old padded count could never reach quorum and every fit ran to
+    the iteration cap."""
+    xd, Y, p0, _ = _problem(B=100)  # pads 28 rows at block_fits=64
+    a0 = np.asarray(p0[:, 1]).copy()
+    a0[0] *= 400.0  # fit 0 (and hence every pad row) is a straggler
+    out = _kernel_solve(
+        xd, Y, jnp.asarray(a0), min_converged_fraction=0.9, k_iters=2,
+        iterations=60,
+    )
+    done = np.asarray(out["done"])
+    assert done.shape == (100,)
+    assert done.mean() >= 0.9           # quorum over the true batch
+    iters = np.asarray(out["iterations"])
+    # the stop fired well before the cap: the straggler was cut
+    # mid-flight instead of dragging the whole batch to 60 iterations
+    assert iters[0] < 60
+    assert np.median(iters[1:]) < 30
+
+
 def test_kernel_f64_dtype_follows_y():
     xd, Y, p0, bt = _problem(dtype=np.float64, B=64)
     out = _kernel_solve(xd, Y, p0[:, 1])
