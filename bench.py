@@ -270,7 +270,10 @@ def main():
     # still ~80% of the measured time. The slower routes keep shorter
     # chains (their marginal cost is 5-10x, so the tunnel term is
     # amortized sooner and reps stay seconds, not minutes).
-    R = 40 if joint else (160 if hard else 488)
+    # Round 5: default-route chain 488 -> 1952 (measured on-chip: 101.5M
+    # -> 107.9M fits/s; t = 50 + 1.188*R ms, so R=1952 reaches ~98% of
+    # the 109M asymptotic chip rate; reps stay ~2.4 s).
+    R = 40 if joint else (160 if hard else 1952)
     perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
 
     def run_batches(x0, d):

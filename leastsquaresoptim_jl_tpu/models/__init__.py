@@ -11,7 +11,7 @@ the framework so users and benchmarks can import them directly.
 """
 
 from .curves import CURVES, curve_fit, curve_fit_batch, gridded_model
-from .init import guess_p0
+from .init import guess_exp_sum, guess_p0
 from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
@@ -26,6 +26,7 @@ from .separable import (
 __all__ = [
     "curve_fit",
     "curve_fit_batch",
+    "guess_exp_sum",
     "guess_p0",
     "CURVES",
     "gridded_model",

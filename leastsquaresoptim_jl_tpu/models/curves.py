@@ -136,11 +136,7 @@ def curve_fit(
 
     if isinstance(p0, str):
         # Data-driven starts (models/init.py; p0="auto").
-        if p0 != "auto":
-            raise ValueError(f"p0 must be an array or 'auto'; got {p0!r}")
-        from .init import guess_p0
-
-        p0 = guess_p0(model, xdata, ydata)
+        p0 = _auto_p0(model, xdata, ydata, p0)
     model_key = model  # name string, or callable keyed by identity
     if separable:
         return _curve_fit_separable(
@@ -199,6 +195,27 @@ def curve_fit(
 
 
 _RESIDUAL_CACHE: dict = {}
+
+
+def _auto_p0(model, xdata, ydata, p0):
+    """Resolve ``p0="auto"``: a SeparableModel's own ``guess`` hook if it
+    carries one (exp_sum_separable wires the k-term Jacquelin integral
+    regression), else the named-model initializers (models/init.py)."""
+    if p0 != "auto":
+        raise ValueError(f"p0 must be an array or 'auto'; got {p0!r}")
+    from .separable import SeparableModel
+
+    if isinstance(model, SeparableModel):
+        if model.guess is None:
+            raise ValueError(
+                "p0='auto' needs a SeparableModel with a guess "
+                "initializer (exp_sum_separable(k<=3) provides one); "
+                "pass an explicit p0"
+            )
+        return model.guess(xdata, ydata)
+    from .init import guess_p0
+
+    return guess_p0(model, xdata, ydata)
 
 
 def _curve_fit_separable(
@@ -454,6 +471,7 @@ def curve_fit_batch(
     separable: bool = False,
     irls_iterations: int = 10,
     fused: Optional[bool] = None,
+    stop_check_every: int = 1,
 ):
     """Fit a batch of independent curves in one vmapped kernel.
 
@@ -500,11 +518,7 @@ def curve_fit_batch(
     if isinstance(p0, str):
         # Data-driven starts (models/init.py): closed-form per-model
         # estimates, batched over ydata's leading axes.
-        if p0 != "auto":
-            raise ValueError(f"p0 must be an array or 'auto'; got {p0!r}")
-        from .init import guess_p0
-
-        p0 = guess_p0(model, xdata, ydata)
+        p0 = _auto_p0(model, xdata, ydata, p0)
     gridded_name = model if gridded else None
     sep = None
     if separable:
@@ -628,7 +642,7 @@ def curve_fit_batch(
             optimizer, options=options, output_length=m,
             lower=lower_nl, upper=upper_nl,
             data_axis=axes, min_converged_fraction=min_converged_fraction,
-            fused=fused,
+            fused=fused, stop_check_every=stop_check_every,
         )
         rec = assemble_minimizer(sep, weighted=weighted)
         raw = dict(raw)
@@ -657,5 +671,5 @@ def curve_fit_batch(
         options=options, output_length=m, lower=lower, upper=upper,
         data_axis=axes,
         min_converged_fraction=min_converged_fraction,
-        fused=fused,
+        fused=fused, stop_check_every=stop_check_every,
     )

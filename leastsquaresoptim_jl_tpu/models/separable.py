@@ -80,12 +80,20 @@ class SeparableModel:
     far from the certified parameter vector. Must be a pure jnp function
     of a 1-D beta (vmapped for batches); applied to the minimizer by
     curve_fit / curve_fit_batch after assembly.
+
+    ``guess`` (optional) is a data-driven initializer ``guess(x, y) ->
+    full beta start`` (batched over y's leading axes, jit/vmap-safe);
+    when present, curve_fit / curve_fit_batch accept ``p0="auto"`` for
+    this model the same way they do for the named CURVES entries
+    (models/init.py). :func:`exp_sum_separable` wires the k-term
+    Jacquelin integral regression here.
     """
 
     lin: Tuple[int, ...]
     nl: Tuple[int, ...]
     phi: Callable
     canonical: Optional[Callable] = None
+    guess: Optional[Callable] = None
 
     def __post_init__(self):
         lin, nl = tuple(self.lin), tuple(self.nl)
@@ -195,7 +203,12 @@ def exp_sum_separable(k: int, *, t0=None, dt=None, m=None) -> SeparableModel:
         phi = lambda x, a: jnp.stack(
             [jnp.exp(-a[j] * x) for j in range(k)], axis=-1
         )
-    return SeparableModel(lin, nl, phi, canonical_sorted_exp_pairs)
+    guess = None
+    if k <= 3:
+        from .init import guess_exp_sum
+
+        guess = lambda x, y: guess_exp_sum(x, y, k)
+    return SeparableModel(lin, nl, phi, canonical_sorted_exp_pairs, guess)
 
 
 # Gridded-exp bases (uniform sample grid; see models/curves.py for the

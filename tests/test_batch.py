@@ -156,6 +156,53 @@ def test_batch_fraction_stop():
     )
 
 
+def test_batch_fraction_stop_check_every():
+    """stop_check_every=k: the quorum check is k-granular, but each fit
+    still freezes at its OWN convergence iteration — fits finished under
+    k=1 are bitwise identical under k>1; stragglers may run up to k-1
+    extra (productive) iterations."""
+    rng = np.random.default_rng(5)
+    B, m = 24, 20
+    xdata = jnp.array(np.linspace(1.0, 60.0, m))
+    betas_true = jnp.array(
+        np.stack([rng.uniform(100, 400, B), rng.uniform(2e-4, 2e-3, B)], 1)
+    )
+    ydata = jax.vmap(lambda b: _curve_model(xdata, b))(betas_true)
+    x0s = betas_true * jnp.array(rng.uniform(0.5, 1.8, size=(B, 2)))
+
+    def f(beta, data):
+        xd, yd = data
+        return yd - _curve_model(xd, beta)
+
+    data = (jnp.broadcast_to(xdata, (B, m)), ydata)
+    opt = lso.LevenbergMarquardt(lso.Cholesky())
+    kw = dict(output_length=m, min_converged_fraction=0.75)
+    r1 = lso.solve_batch(f, x0s, data, opt, **kw)
+    r3 = lso.solve_batch(f, x0s, data, opt, stop_check_every=3, **kw)
+    c1 = np.asarray(r1["converged"])
+    c3 = np.asarray(r3["converged"])
+    assert c3.mean() >= 0.75
+    # k=3 never converges FEWER fits (extra productive iterations only)
+    assert (c3 | ~c1).all()
+    both = c1 & c3
+    assert np.array_equal(
+        np.asarray(r1["minimizer"])[both], np.asarray(r3["minimizer"])[both]
+    )
+    assert np.array_equal(
+        np.asarray(r1["iterations"])[both], np.asarray(r3["iterations"])[both]
+    )
+    # overshoot is bounded by k-1 lockstep iterations
+    assert (
+        np.asarray(r3["iterations"]).max()
+        <= np.asarray(r1["iterations"]).max() + 2
+    )
+    with pytest.raises(ValueError, match="stop_check_every"):
+        lso.solve_batch(f, x0s, data, opt, output_length=m,
+                        stop_check_every=2)
+    with pytest.raises(ValueError, match="stop_check_every"):
+        lso.solve_batch(f, x0s, data, opt, stop_check_every=0, **kw)
+
+
 def test_batch_fraction_stop_dogleg_no_data():
     def rosenbrock(x):
         return jnp.array([1 - x[0], 100 * (x[1] - x[0] ** 2)])

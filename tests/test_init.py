@@ -186,6 +186,88 @@ def test_exp_sum_2_guess_nonuniform_grid():
     assert rel.max() < 1e-4
 
 
+def test_guess_exp_sum_k3_recovers_parameters():
+    """guess_exp_sum(k=3): the triple-integral regression recovers all
+    six parameters on clean data (rates within tens of percent), and the
+    VarPro fit started there converges to truth."""
+    from leastsquaresoptim_jl_tpu.models import exp_sum_separable, guess_exp_sum
+
+    x = np.linspace(0.0, 6.0, 96)
+    bt = np.array([3.0, 0.3, 2.0, 1.1, 1.0, 3.5])
+    y = sum(bt[2 * j] * np.exp(-bt[2 * j + 1] * x) for j in range(3))
+    g = np.asarray(guess_exp_sum(x, jnp.asarray(y), 3), np.float64)
+    rel = np.abs(g - bt) / np.abs(bt)
+    assert rel[1::2].max() < 0.25, (g, bt)  # rates
+    r = curve_fit(exp_sum_separable(3), x, y, g, separable=True)
+    assert bool(r.converged)
+    fit_rel = np.abs(np.asarray(r.minimizer) - bt) / np.abs(bt)
+    assert fit_rel.max() < 1e-3
+
+
+def test_guess_exp_sum_matches_exp_sum_2_and_k1():
+    from leastsquaresoptim_jl_tpu.models import guess_exp_sum
+
+    x, y, _ = _data("exp_sum_2")
+    np.testing.assert_array_equal(
+        np.asarray(guess_exp_sum(x, y, 2)),
+        np.asarray(guess_p0("exp_sum_2", x, y)),
+    )
+    y1 = 2.0 * np.exp(-0.7 * np.asarray(x))
+    g1 = np.asarray(guess_exp_sum(x, jnp.asarray(y1), 1), np.float64)
+    assert np.abs(g1 - [2.0, 0.7]).max() < 0.05
+    with pytest.raises(ValueError, match="k in"):
+        guess_exp_sum(x, y, 4)
+
+
+def test_separable_model_auto_p0():
+    """p0='auto' flows through SeparableModel.guess: exp_sum_separable(3)
+    fits start-free; a guess-less SeparableModel raises."""
+    from leastsquaresoptim_jl_tpu.models import (
+        SeparableModel, exp_sum_separable,
+    )
+
+    x = np.linspace(0.0, 6.0, 96)
+    bt = np.array([3.0, 0.3, 2.0, 1.1, 1.0, 3.5])
+    y = sum(bt[2 * j] * np.exp(-bt[2 * j + 1] * x) for j in range(3))
+    sep3 = exp_sum_separable(3)
+    r = curve_fit(sep3, x, y, "auto", separable=True)
+    assert bool(r.converged)
+    rel = np.abs(np.asarray(r.minimizer) - bt) / np.abs(bt)
+    assert rel.max() < 1e-3
+    # batched path too
+    Y = jnp.stack([jnp.asarray(y), jnp.asarray(y) * 1.2])
+    raw = curve_fit_batch(sep3, x, Y, "auto", separable=True,
+                          min_converged_fraction=1.0)
+    assert np.asarray(raw["converged"]).all()
+    # no guess hook -> explicit error
+    bare = SeparableModel((0,), (1,), lambda xx, a: (1.0 - jnp.exp(
+        -a[0] * xx))[..., None])
+    with pytest.raises(ValueError, match="auto"):
+        curve_fit(bare, x, y, "auto", separable=True)
+
+
+def test_guess_exp_sum_k3_noise_and_batch():
+    """k=3 guesses stay in-basin under 0.5% noise, batched."""
+    from leastsquaresoptim_jl_tpu.models import guess_exp_sum
+
+    x = np.linspace(0.0, 6.0, 96)
+    bt = np.array([3.0, 0.3, 2.0, 1.1, 1.0, 3.5])
+    y = sum(bt[2 * j] * np.exp(-bt[2 * j + 1] * x) for j in range(3))
+    rng = np.random.default_rng(11)
+    B = 8
+    Y = y[None, :] + 0.005 * np.abs(y).max() * rng.standard_normal((B, 96))
+    G = np.asarray(guess_exp_sum(x, jnp.asarray(Y), 3), np.float64)
+    assert G.shape == (B, 6)
+    assert np.isfinite(G).all()
+    # rates ascending per row (canonical layout) and in a sane band
+    rates = G[:, 1::2]
+    assert (np.diff(rates, axis=1) >= 0).all()
+    assert (rates > 0).all()
+    # median rate error across the batch stays within ~50% under noise
+    rel = np.abs(rates - bt[1::2]) / bt[1::2]
+    assert np.median(rel, axis=0).max() < 0.5
+
+
 def test_guess_dtype_follows_data():
     x, y, _ = _data("gaussian")
     g32 = guess_p0("gaussian", x, np.asarray(y, np.float32))
