@@ -11,7 +11,7 @@ the framework so users and benchmarks can import them directly.
 """
 
 from .curves import CURVES, curve_fit, curve_fit_batch, gridded_model
-from .init import guess_exp_sum, guess_p0
+from .init import guess_exp_sum, guess_gauss_sum, guess_p0
 from .minpack import cholesky_suite, full_suite
 from .nist import DATASETS as NIST_DATASETS
 from .nist import MODELS as NIST_MODELS
@@ -20,6 +20,7 @@ from .separable import (
     SEPARABLE,
     SeparableModel,
     exp_sum_separable,
+    gauss_sum_separable,
     gridded_separable,
 )
 
@@ -27,6 +28,7 @@ __all__ = [
     "curve_fit",
     "curve_fit_batch",
     "guess_exp_sum",
+    "guess_gauss_sum",
     "guess_p0",
     "CURVES",
     "gridded_model",
@@ -34,6 +36,7 @@ __all__ = [
     "SeparableModel",
     "gridded_separable",
     "exp_sum_separable",
+    "gauss_sum_separable",
     "full_suite",
     "cholesky_suite",
     "NIST_DATASETS",

@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["guess_p0", "guess_exp_sum", "INITIALIZERS"]
+__all__ = ["guess_p0", "guess_exp_sum", "guess_gauss_sum", "INITIALIZERS"]
 
 
 def _linfit(x, z, w=None):
@@ -300,6 +300,88 @@ def guess_exp_sum(xdata, ydata, k):
 
 def _init_exp_sum_2(x, y):
     return _exp_sum_guess(x, y, 2)
+
+
+def _gauss_sum_guess(x, y, k):
+    """Greedy peak extraction for ``sum_j a_j exp(-(x-mu_j)^2/(2 s_j^2))``:
+    k rounds of (argmax residual -> center/amplitude; windowed second
+    moment -> width, with the window's own variance divided back out
+    analytically; subtract the fitted peak), then one ridged kxk linear
+    re-solve of all amplitudes on the recovered basis. Basin-membership
+    contract like every initializer here: positive, reasonably separated
+    peaks land; heavily overlapped peaks give a finite in-band start the
+    trust-region solve can still rescue."""
+    from ..ops.linalg import spd_chol_solve
+
+    eps = jnp.finfo(y.dtype).eps
+    tiny = jnp.finfo(y.dtype).tiny
+    xb = jnp.broadcast_to(x, y.shape).astype(y.dtype)
+    span = jnp.maximum(jnp.max(x) - jnp.min(x), tiny)
+    dxmin = jnp.maximum(jnp.min(jnp.abs(jnp.diff(x, axis=-1))), 1e-30)
+    # Localization window: wide enough to hold one of k peaks, narrow
+    # enough to exclude the neighbors' bulk.
+    W = (span / (2.0 * k)).astype(y.dtype)
+    sig_lo = (0.5 * dxmin).astype(y.dtype)
+    sig_hi = span.astype(y.dtype)
+
+    resid = y
+    mus, sigs, amps = [], [], []
+    for _ in range(k):
+        i = jnp.argmax(resid, axis=-1)
+        a = jnp.take_along_axis(resid, i[..., None], axis=-1)[..., 0]
+        mu = jnp.take_along_axis(xb, i[..., None], axis=-1)[..., 0]
+        d = xb - mu[..., None]
+        loc = jnp.exp(-(d * d) / (2.0 * W * W))
+        p = jnp.clip(resid, 0.0, None) * loc
+        sp = jnp.maximum(jnp.sum(p, axis=-1), tiny)
+        var = jnp.sum(p * d * d, axis=-1) / sp
+        # The window multiplies the peak: a Gaussian of width s seen
+        # through exp(-d^2/2W^2) measures var = (s^-2 + W^-2)^-1 —
+        # divide the window back out.
+        var = jnp.clip(var, None, (1.0 - 1e-3) * W * W)
+        s2 = var * W * W / jnp.maximum(W * W - var, tiny)
+        sig = jnp.clip(jnp.sqrt(s2), sig_lo, sig_hi)
+        mus.append(mu)
+        sigs.append(sig)
+        amps.append(a)
+        resid = resid - a[..., None] * jnp.exp(
+            -(d * d) / (2.0 * sig * sig)[..., None]
+        )
+    mu = jnp.stack(mus, axis=-1)
+    sig = jnp.stack(sigs, axis=-1)
+    # centers ascending (the canonical representative)
+    order = jnp.argsort(mu, axis=-1)
+    mu = jnp.take_along_axis(mu, order, axis=-1)
+    sig = jnp.take_along_axis(sig, order, axis=-1)
+    # amplitudes: one ridged kxk SPD solve on the recovered basis
+    d = xb[..., None, :] - mu[..., :, None]
+    E = jnp.exp(-(d * d) / (2.0 * (sig * sig)[..., :, None]))  # (..., k, m)
+    Gk = jnp.einsum("...im,...jm->...ij", E, E)
+    rk = jnp.einsum("...im,...m->...i", E, y)
+    trk = jnp.trace(Gk, axis1=-2, axis2=-1)
+    ridgek = (eps * trk + tiny)[..., None, None]
+    a = spd_chol_solve(Gk + ridgek * jnp.eye(k, dtype=y.dtype), rk)
+    return jnp.stack([a, mu, sig], axis=-1).reshape(
+        y.shape[:-1] + (3 * k,)
+    )
+
+
+def guess_gauss_sum(xdata, ydata, k):
+    """Closed-form start for the k-peak Gaussian sum in the interleaved
+    (amp, center, width) layout of
+    :func:`~.separable.gauss_sum_separable` (which wires this as its
+    ``guess`` hook, so ``p0="auto"`` also works)::
+
+        sep = gauss_sum_separable(2)
+        fit = curve_fit(sep, x, y, "auto", separable=True)
+
+    ``ydata`` may carry leading batch axes; batched and jit/vmap-safe."""
+    if k < 1:
+        raise ValueError(f"guess_gauss_sum needs k >= 1; got {k}")
+    y = jnp.asarray(ydata)
+    y = y.astype(jnp.result_type(y, jnp.float32))
+    x = jnp.asarray(xdata).astype(y.dtype)
+    return _gauss_sum_guess(x, y, int(k))
 
 
 INITIALIZERS = {

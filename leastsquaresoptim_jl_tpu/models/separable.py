@@ -54,7 +54,9 @@ __all__ = [
     "SEPARABLE",
     "gridded_separable",
     "exp_sum_separable",
+    "gauss_sum_separable",
     "canonical_sorted_exp_pairs",
+    "canonical_sorted_gauss_triples",
 ]
 
 
@@ -120,6 +122,17 @@ def canonical_sorted_exp_pairs(b):
     amps, rates = b[0::2], b[1::2]
     order = jnp.argsort(rates)
     return jnp.stack([amps[order], rates[order]], axis=-1).reshape(-1)
+
+
+def canonical_sorted_gauss_triples(b):
+    """Canonical representative for sums of Gaussians with interleaved
+    ``(amp, center, width)`` triples: widths appear squared (sign
+    absorbed -> positive) and the terms permute freely (canonical =
+    centers ascending)."""
+    t = b.reshape(-1, 3)
+    t = t.at[:, 2].set(jnp.abs(t[:, 2]))
+    order = jnp.argsort(t[:, 1])
+    return t[order].reshape(-1)
 
 
 # Separable structure of the CURVES zoo (models/curves.py). Each phi takes
@@ -209,6 +222,37 @@ def exp_sum_separable(k: int, *, t0=None, dt=None, m=None) -> SeparableModel:
 
         guess = lambda x, y: guess_exp_sum(x, y, k)
     return SeparableModel(lin, nl, phi, canonical_sorted_exp_pairs, guess)
+
+
+def gauss_sum_separable(k: int) -> SeparableModel:
+    """Separable structure for the k-peak Gaussian sum
+    ``sum_j beta[3j] * exp(-(x - beta[3j+1])^2 / (2 beta[3j+2]^2))`` —
+    the classic spectroscopy/peak-fitting workload (NIST Gauss1-3 are
+    this shape plus an exponential background).
+
+    Interleaved ``(amp, center, width)`` triples; the amplitudes are the
+    VarPro-eliminated linear coefficients (p = k basis columns), the
+    centers/widths the nonlinear parameters. The fitted vector is
+    canonicalized to widths positive and centers ascending (the terms
+    permute freely). Carries a ``guess`` hook (greedy peak extraction,
+    models/init.guess_gauss_sum) so ``p0="auto"`` works in
+    curve_fit / curve_fit_batch."""
+    if k < 1:
+        raise ValueError(f"gauss_sum_separable needs k >= 1, got {k}")
+    lin = tuple(range(0, 3 * k, 3))
+    nl = tuple(i for i in range(3 * k) if i % 3 != 0)
+
+    def phi(x, a):
+        mu, sig = a[0::2], a[1::2]
+        d = x[..., :, None] - mu
+        return jnp.exp(-(d * d) / (2.0 * sig * sig))
+
+    from .init import guess_gauss_sum
+
+    return SeparableModel(
+        lin, nl, phi, canonical_sorted_gauss_triples,
+        lambda x, y: guess_gauss_sum(x, y, k),
+    )
 
 
 # Gridded-exp bases (uniform sample grid; see models/curves.py for the

@@ -268,6 +268,85 @@ def test_guess_exp_sum_k3_noise_and_batch():
     assert np.median(rel, axis=0).max() < 0.5
 
 
+def test_gauss_sum_separable_auto_fit():
+    """gauss_sum_separable(k) + p0='auto' (greedy peak extraction):
+    clean k=2 and k=3 peak sums recover the generating parameters to
+    certified accuracy, canonical layout (centers ascending, widths
+    positive)."""
+    from leastsquaresoptim_jl_tpu.models import gauss_sum_separable
+
+    x = np.linspace(0.0, 10.0, 128)
+    for bt in (
+        np.array([3.0, 2.5, 0.6, 1.8, 6.5, 0.9]),
+        np.array([2.0, 2.0, 0.5, 3.0, 5.0, 0.8, 1.5, 8.0, 0.6]),
+    ):
+        k = len(bt) // 3
+        y = sum(
+            bt[3 * j] * np.exp(-((x - bt[3 * j + 1]) ** 2)
+                               / (2 * bt[3 * j + 2] ** 2))
+            for j in range(k)
+        )
+        r = curve_fit(gauss_sum_separable(k), x, y, "auto", separable=True)
+        assert bool(r.converged), k
+        mins = np.asarray(r.minimizer)
+        rel = np.abs(mins - bt) / np.abs(bt)
+        assert rel.max() < 1e-6, (k, mins, bt)
+        # canonical: centers ascending, widths positive
+        assert (np.diff(mins[1::3]) > 0).all()
+        assert (mins[2::3] > 0).all()
+
+
+def test_gauss_sum_guess_noise_robust():
+    """Auto-started 2-peak fits under 5% noise converge to the noise
+    floor (basin membership, the initializer contract)."""
+    from leastsquaresoptim_jl_tpu.models import gauss_sum_separable
+
+    x = np.linspace(0.0, 10.0, 128)
+    sep = gauss_sum_separable(2)
+    ok = 0
+    for seed in range(6):
+        r2 = np.random.default_rng(seed)
+        bt = np.array([
+            r2.uniform(1, 4), r2.uniform(1.5, 3.5), r2.uniform(0.3, 1.0),
+            r2.uniform(1, 4), r2.uniform(5.5, 8.5), r2.uniform(0.3, 1.0),
+        ])
+        y = sum(bt[3 * j] * np.exp(-((x - bt[3 * j + 1]) ** 2)
+                                   / (2 * bt[3 * j + 2] ** 2))
+                for j in range(2))
+        y = y + 0.05 * np.abs(y).max() * r2.standard_normal(y.shape)
+        r = curve_fit(sep, x, y, "auto", separable=True)
+        mins = np.asarray(r.minimizer)
+        yfit = sum(mins[3 * j] * np.exp(-((x - mins[3 * j + 1]) ** 2)
+                                        / (2 * mins[3 * j + 2] ** 2))
+                   for j in range(2))
+        floor = (0.05 * np.abs(y).max()) ** 2 * len(x)
+        ok += bool(r.converged) and ((y - yfit) ** 2).sum() <= 1.5 * floor
+    assert ok >= 5
+
+
+def test_guess_gauss_sum_batched_jit():
+    import jax
+
+    from leastsquaresoptim_jl_tpu.models import guess_gauss_sum
+
+    x = np.linspace(0.0, 10.0, 128)
+    bt = np.array([3.0, 2.5, 0.6, 1.8, 6.5, 0.9])
+    y = sum(bt[3 * j] * np.exp(-((x - bt[3 * j + 1]) ** 2)
+                               / (2 * bt[3 * j + 2] ** 2))
+            for j in range(2))
+    g = np.asarray(guess_gauss_sum(x, jnp.asarray(y), 2))
+    gj = jax.jit(lambda a, b: guess_gauss_sum(a, b, 2))(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    np.testing.assert_allclose(np.asarray(gj), g)
+    Y = jnp.stack([jnp.asarray(y), jnp.asarray(y) * 1.4])
+    G = guess_gauss_sum(x, Y, 2)
+    assert G.shape == (2, 6)
+    assert np.isfinite(np.asarray(G)).all()
+    with pytest.raises(ValueError, match="k >= 1"):
+        guess_gauss_sum(x, y, 0)
+
+
 def test_guess_dtype_follows_data():
     x, y, _ = _data("gaussian")
     g32 = guess_p0("gaussian", x, np.asarray(y, np.float32))
