@@ -137,6 +137,34 @@ def main():
     print("auto-start exp_sum_2:", np.round(np.asarray(r_a.minimizer), 4),
           "converged:", r_a.converged)
 
+    # 8d. start-free k-term families: exp_sum_separable(k<=3) and
+    # gauss_sum_separable(k) carry data-driven guess hooks, so p0="auto"
+    # covers multi-exponential decays and multi-peak Gaussian sums too.
+    # (In f64, the NIST Lanczos3 sloppy 3-exponential fits to its
+    # certified solution with no user start at all —
+    # tests/test_init.py::test_lanczos3_start_free_certified; this tour
+    # runs in f32, where that valley is below float resolution, so the
+    # demo uses a synthetic well-posed 3-term sum.)
+    from leastsquaresoptim_jl_tpu.models import (
+        exp_sum_separable, gauss_sum_separable,
+    )
+
+    x3 = np.linspace(0.0, 6.0, 96)
+    bt3 = np.array([3.0, 0.3, 2.0, 1.1, 1.0, 3.5])
+    y3 = sum(bt3[2 * j] * np.exp(-bt3[2 * j + 1] * x3) for j in range(3))
+    r3 = lso.curve_fit(exp_sum_separable(3), x3, y3, "auto",
+                       separable=True)
+    rel3 = np.abs(np.asarray(r3.minimizer) - bt3) / np.abs(bt3)
+    print(f"start-free 3-exp sum: max rel err {rel3.max():.1e}, "
+          f"converged: {r3.converged}")
+
+    xg = np.linspace(0.0, 10.0, 128)
+    yg = (3.0 * np.exp(-((xg - 2.5) ** 2) / (2 * 0.6**2))
+          + 1.8 * np.exp(-((xg - 6.5) ** 2) / (2 * 0.9**2)))
+    rg = lso.curve_fit(gauss_sum_separable(2), xg, yg, "auto",
+                       separable=True)
+    print("start-free 2-peak Gaussian:", np.round(np.asarray(rg.minimizer), 3))
+
     # 9. geodesic acceleration: half the second-order correction added to
     # each LM step — ~2x fewer iterations on sloppy exponential sums
     # (here a 2-term sum with close rates; canonicalized rates ascending)

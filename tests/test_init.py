@@ -268,6 +268,27 @@ def test_guess_exp_sum_k3_noise_and_batch():
     assert np.median(rel, axis=0).max() < 0.5
 
 
+def test_lanczos3_start_free_certified():
+    """Start-free NIST Lanczos3: the canonical sloppy 3-exponential whose
+    certified starts the reference hand-feeds (test/nonlinearfitting.jl)
+    fits to the certified solution from guess_exp_sum alone — the raw
+    integral-regression guess already lands within ~2% of x* on all six
+    parameters, and the VarPro fit certifies at the NIST 1e-3 criterion."""
+    from leastsquaresoptim_jl_tpu.models import (
+        NIST_DATASETS, exp_sum_separable, guess_exp_sum,
+    )
+
+    d = NIST_DATASETS["Lanczos3"]
+    x = np.asarray(d["x"])
+    y = np.asarray(d["y"])
+    sol = np.asarray(d["solution"])
+    g = np.asarray(guess_exp_sum(x, jnp.asarray(y), 3), np.float64)
+    assert (np.abs(g - sol) / np.abs(sol)).max() < 0.10
+    r = curve_fit(exp_sum_separable(3), x, y, "auto", separable=True)
+    assert bool(r.converged)
+    assert np.abs(np.asarray(r.minimizer) - sol).max() < 1e-3
+
+
 def test_gauss_sum_separable_auto_fit():
     """gauss_sum_separable(k) + p0='auto' (greedy peak extraction):
     clean k=2 and k=3 peak sums recover the generating parameters to
