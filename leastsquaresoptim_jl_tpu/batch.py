@@ -86,6 +86,7 @@ def solve_batch(
     Wrap the call in ``jax.jit`` for repeated use.
     """
     opts = options or Options()
+    _validate_stop_check_every(stop_check_every)
     if opts.show_trace:
         raise ValueError(
             "show_trace (live printing) is not supported under batched "
@@ -152,6 +153,27 @@ def solve_batch(
     if data_batch is None:
         return jax.vmap(lambda x0: single(x0, None))(x0_batch)
     return jax.vmap(single, in_axes=(0, data_axis))(x0_batch, data_batch)
+
+
+def _validate_stop_check_every(k):
+    """Early validation (before any tracing): integral, >= 1, and capped —
+    the k-unrolled while body inlines k copies of the full per-iteration
+    HLO, so compile time/program size grow multiplicatively with k."""
+    import numbers
+
+    if not isinstance(k, numbers.Integral):
+        raise ValueError(
+            f"stop_check_every must be an integer >= 1; got {k!r}"
+        )
+    if k < 1:
+        raise ValueError(f"stop_check_every must be >= 1; got {k}")
+    if k > 64:
+        raise ValueError(
+            f"stop_check_every={k} would inline {k} copies of the loop "
+            "body into one while iteration (multiplicative compile "
+            "time/HLO size); the cap is 64 — measured parity at the "
+            "batched-curve-fit shapes anyway (see docstring)"
+        )
 
 
 def _solve_batch_fraction(
@@ -253,8 +275,6 @@ def _solve_batch_fraction(
     need_count = int(math.ceil(frac * B - 1e-9))
     need = jnp.int32(min(B, max(1, need_count)) if frac > 0 else 0)
     check_every = int(stop_check_every)
-    if check_every < 1:
-        raise ValueError(f"stop_check_every must be >= 1; got {check_every}")
 
     def count_done(active):
         return jnp.sum((~active).astype(jnp.int32))

@@ -395,7 +395,8 @@ def _separable_irls(
 
 def _separable_irls_batch(
     model, xdata, ydata, p0, *, sep, weights, optimizer, options, lower,
-    upper, min_converged_fraction, loss, f_scale, gridded, irls_iterations
+    upper, min_converged_fraction, loss, f_scale, gridded,
+    irls_iterations, stop_check_every=1,
 ):
     """Batched robust separable fit: the _separable_irls scheme around
     the vmapped linear-loss VarPro solve. IRLS weights are per-fit
@@ -437,6 +438,7 @@ def _separable_irls_batch(
             optimizer=optimizer, options=options, lower=lower,
             upper=upper, min_converged_fraction=min_converged_fraction,
             gridded=gridded, separable=True,
+            stop_check_every=stop_check_every,
         )
         beta_new = raw["minimizer"]
         done = bool(
@@ -552,6 +554,7 @@ def curve_fit_batch(
                 min_converged_fraction=min_converged_fraction,
                 loss=loss, f_scale=f_scale, gridded=gridded,
                 irls_iterations=irls_iterations,
+                stop_check_every=stop_check_every,
             )
     else:
         model = _as_model(model)

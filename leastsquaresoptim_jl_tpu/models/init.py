@@ -262,14 +262,27 @@ def _exp_sum_guess(x, y, k):
 
     # Amplitudes: ridged kxk SPD solve on the recovered basis.
     E = jnp.exp(-rates[..., :, None] * xb[..., None, :])  # (..., k, m)
+    amps = _ridged_basis_amplitudes(E, y)
+    # interleave (amp, rate) pairs, rates ascending — matches
+    # canonical_sorted_exp_pairs / exp_sum_separable's layout
+    return jnp.stack([amps, rates], axis=-1).reshape(y.shape[:-1] + (2 * k,))
+
+
+def _ridged_basis_amplitudes(E, y):
+    """Amplitudes of ``y ~ sum_j a_j E[..., j, :]`` by one ridged kxk SPD
+    solve on the recovered basis (shared by the exp-sum and gauss-sum
+    initializers; the spectral ridge keeps degenerate/collinear recovered
+    bases finite rather than NaN)."""
+    from ..ops.linalg import spd_chol_solve
+
+    eps = jnp.finfo(y.dtype).eps
+    tiny = jnp.finfo(y.dtype).tiny
+    k = E.shape[-2]
     Gk = jnp.einsum("...im,...jm->...ij", E, E)
     rk = jnp.einsum("...im,...m->...i", E, y)
     trk = jnp.trace(Gk, axis1=-2, axis2=-1)
     ridgek = (eps * trk + tiny)[..., None, None]
-    amps = spd_chol_solve(Gk + ridgek * jnp.eye(k, dtype=y.dtype), rk)
-    # interleave (amp, rate) pairs, rates ascending — matches
-    # canonical_sorted_exp_pairs / exp_sum_separable's layout
-    return jnp.stack([amps, rates], axis=-1).reshape(y.shape[:-1] + (2 * k,))
+    return spd_chol_solve(Gk + ridgek * jnp.eye(k, dtype=y.dtype), rk)
 
 
 def guess_exp_sum(xdata, ydata, k):
@@ -311,12 +324,15 @@ def _gauss_sum_guess(x, y, k):
     contract like every initializer here: positive, reasonably separated
     peaks land; heavily overlapped peaks give a finite in-band start the
     trust-region solve can still rescue."""
-    from ..ops.linalg import spd_chol_solve
-
-    eps = jnp.finfo(y.dtype).eps
     tiny = jnp.finfo(y.dtype).tiny
     xb = jnp.broadcast_to(x, y.shape).astype(y.dtype)
-    span = jnp.maximum(jnp.max(x) - jnp.min(x), tiny)
+    # Scale-aware span floor: a zero-span (constant) x must still yield a
+    # FINITE start (module contract) — a tiny-floored span underflows
+    # W*W to 0 and poisons loc with exp(-0/0) = NaN.
+    span = jnp.maximum(
+        jnp.max(x) - jnp.min(x),
+        1e-3 * jnp.maximum(jnp.max(jnp.abs(x)), 1.0),
+    )
     dxmin = jnp.maximum(jnp.min(jnp.abs(jnp.diff(x, axis=-1))), 1e-30)
     # Localization window: wide enough to hold one of k peaks, narrow
     # enough to exclude the neighbors' bulk.
@@ -356,11 +372,7 @@ def _gauss_sum_guess(x, y, k):
     # amplitudes: one ridged kxk SPD solve on the recovered basis
     d = xb[..., None, :] - mu[..., :, None]
     E = jnp.exp(-(d * d) / (2.0 * (sig * sig)[..., :, None]))  # (..., k, m)
-    Gk = jnp.einsum("...im,...jm->...ij", E, E)
-    rk = jnp.einsum("...im,...m->...i", E, y)
-    trk = jnp.trace(Gk, axis1=-2, axis2=-1)
-    ridgek = (eps * trk + tiny)[..., None, None]
-    a = spd_chol_solve(Gk + ridgek * jnp.eye(k, dtype=y.dtype), rk)
+    a = _ridged_basis_amplitudes(E, y)
     return jnp.stack([a, mu, sig], axis=-1).reshape(
         y.shape[:-1] + (3 * k,)
     )

@@ -201,6 +201,13 @@ def test_batch_fraction_stop_check_every():
                         stop_check_every=2)
     with pytest.raises(ValueError, match="stop_check_every"):
         lso.solve_batch(f, x0s, data, opt, stop_check_every=0, **kw)
+    # non-integers are rejected (int() would silently truncate 2.7 -> 2)
+    with pytest.raises(ValueError, match="integer"):
+        lso.solve_batch(f, x0s, data, opt, stop_check_every=2.7, **kw)
+    # the unroll is capped: k copies of the loop body inline into one
+    # while iteration, so compile cost grows multiplicatively with k
+    with pytest.raises(ValueError, match="cap"):
+        lso.solve_batch(f, x0s, data, opt, stop_check_every=128, **kw)
 
 
 def test_batch_fraction_stop_dogleg_no_data():

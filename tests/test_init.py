@@ -345,6 +345,18 @@ def test_gauss_sum_guess_noise_robust():
     assert ok >= 5
 
 
+def test_guess_gauss_sum_degenerate_x_finite():
+    """Constant (zero-span) x must yield a FINITE start (the module
+    contract: flat/degenerate data produce mediocre starts, not NaN) —
+    regression for the underflowing localization window W*W -> 0."""
+    from leastsquaresoptim_jl_tpu.models import guess_gauss_sum
+
+    y = np.array([1.0, 2.0, 1.5, 0.5] * 8)
+    for xc in (2.0, 0.0):
+        g = np.asarray(guess_gauss_sum(np.full(32, xc), jnp.asarray(y), 2))
+        assert np.isfinite(g).all(), (xc, g)
+
+
 def test_guess_gauss_sum_batched_jit():
     import jax
 
