@@ -46,6 +46,25 @@ CURVES = {
     "exp_sum_2": lambda x, b: (
         b[0] * jnp.exp(-b[1] * x) + b[2] * jnp.exp(-b[3] * x)
     ),
+    # three-term exponential sum [NIST Lanczos shape]
+    "exp_sum_3": lambda x, b: (
+        b[0] * jnp.exp(-b[1] * x)
+        + b[2] * jnp.exp(-b[3] * x)
+        + b[4] * jnp.exp(-b[5] * x)
+    ),
+    # k-peak Gaussian sums, interleaved (amp, center, width) triples
+    # [spectroscopy; NIST Gauss1-3 shape minus the exp background].
+    # Terms permute / widths appear squared — the separable structure
+    # canonicalizes centers ascending, widths positive.
+    "gauss_sum_2": lambda x, b: (
+        b[0] * jnp.exp(-((x - b[1]) ** 2) / (2.0 * b[2] ** 2))
+        + b[3] * jnp.exp(-((x - b[4]) ** 2) / (2.0 * b[5] ** 2))
+    ),
+    "gauss_sum_3": lambda x, b: (
+        b[0] * jnp.exp(-((x - b[1]) ** 2) / (2.0 * b[2] ** 2))
+        + b[3] * jnp.exp(-((x - b[4]) ** 2) / (2.0 * b[5] ** 2))
+        + b[6] * jnp.exp(-((x - b[7]) ** 2) / (2.0 * b[8] ** 2))
+    ),
 }
 
 
@@ -64,7 +83,7 @@ CURVES = {
 # unrecoverable (0*inf) without re-doing the per-sample exp, which would
 # erase the win. Measured failure: O(1)-wrong model values near the grid
 # edge at f32 with b2 ≳ 2.8 on a dt=1, m=64 grid.
-_GRIDDED_NAMES = ("exp_saturation", "exp_decay", "exp_sum_2")
+_GRIDDED_NAMES = ("exp_saturation", "exp_decay", "exp_sum_2", "exp_sum_3")
 
 
 def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
@@ -86,6 +105,10 @@ def gridded_model(name: str, t0: float, dt: float, m: int) -> Callable:
         return lambda x, b: b[0] * (1.0 - e(-b[1]))
     if name == "exp_sum_2":
         return lambda x, b: b[0] * e(-b[1]) + b[2] * e(-b[3])
+    if name == "exp_sum_3":
+        return lambda x, b: (
+            b[0] * e(-b[1]) + b[2] * e(-b[3]) + b[4] * e(-b[5])
+        )
     return lambda x, b: b[0] * e(-b[1]) + b[2]
 
 

@@ -404,6 +404,9 @@ INITIALIZERS = {
     "gaussian": _init_gaussian,
     "michaelis_menten": _init_michaelis_menten,
     "exp_sum_2": _init_exp_sum_2,
+    "exp_sum_3": lambda x, y: _exp_sum_guess(x, y, 3),
+    "gauss_sum_2": lambda x, y: _gauss_sum_guess(x, y, 2),
+    "gauss_sum_3": lambda x, y: _gauss_sum_guess(x, y, 3),
 }
 
 

@@ -255,9 +255,18 @@ def gauss_sum_separable(k: int) -> SeparableModel:
     )
 
 
+# Named k-term entries so string-keyed curve_fit("exp_sum_3"/"gauss_sum_2"
+# /"gauss_sum_3", ...) reaches the builders without importing them.
+SEPARABLE["exp_sum_3"] = exp_sum_separable(3)
+SEPARABLE["gauss_sum_2"] = gauss_sum_separable(2)
+SEPARABLE["gauss_sum_3"] = gauss_sum_separable(3)
+
+
 # Gridded-exp bases (uniform sample grid; see models/curves.py for the
 # grid contract and ops/special.py for the evaluator).
-_GRIDDED_SEPARABLE = ("exp_saturation", "exp_decay", "exp_sum_2")
+_GRIDDED_SEPARABLE = (
+    "exp_saturation", "exp_decay", "exp_sum_2", "exp_sum_3",
+)
 
 
 def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel:
@@ -278,13 +287,17 @@ def gridded_separable(name: str, t0: float, dt: float, m: int) -> SeparableModel
         phi = lambda x, a: _col(1.0 - e(-a[0]))
     elif name == "exp_sum_2":
         phi = lambda x, a: jnp.stack([e(-a[0]), e(-a[1])], axis=-1)
+    elif name == "exp_sum_3":
+        phi = lambda x, a: jnp.stack(
+            [e(-a[0]), e(-a[1]), e(-a[2])], axis=-1
+        )
     else:  # exp_decay
 
         def phi(x, a):
             col = e(-a[0])
             return jnp.stack([col, jnp.ones_like(col)], axis=-1)
 
-    return SeparableModel(base.lin, base.nl, phi, base.canonical)
+    return SeparableModel(base.lin, base.nl, phi, base.canonical, base.guess)
 
 
 def split_nl_bounds(sm: SeparableModel, lower, upper):

@@ -25,6 +25,14 @@ CASES = {
     "gaussian": (np.linspace(-5, 5, 60), [3.0, 0.8, 1.2]),
     "michaelis_menten": (np.linspace(0.2, 8, 60), [4.0, 1.5]),
     "exp_sum_2": (np.linspace(0, 6, 64), [2.5, 0.5, 1.2, 2.2]),
+    "exp_sum_3": (np.linspace(0, 6, 96), [3.0, 0.3, 2.0, 1.1, 1.0, 3.5]),
+    "gauss_sum_2": (
+        np.linspace(0, 10, 128), [3.0, 2.5, 0.6, 1.8, 6.5, 0.9],
+    ),
+    "gauss_sum_3": (
+        np.linspace(0, 10, 128),
+        [2.0, 2.0, 0.5, 3.0, 5.0, 0.8, 1.5, 8.0, 0.6],
+    ),
 }
 
 
@@ -217,6 +225,39 @@ def test_guess_exp_sum_matches_exp_sum_2_and_k1():
     assert np.abs(g1 - [2.0, 0.7]).max() < 0.05
     with pytest.raises(ValueError, match="k in"):
         guess_exp_sum(x, y, 4)
+
+
+def test_named_k_term_models_resolve():
+    """The string names 'exp_sum_3'/'gauss_sum_2'/'gauss_sum_3' resolve
+    through CURVES, SEPARABLE, and INITIALIZERS: separable auto-start
+    fits work (exp_sum_3 also composes with gridded=True) and match the
+    joint model's values."""
+    from leastsquaresoptim_jl_tpu.models.curves import CURVES, gridded_model
+    from leastsquaresoptim_jl_tpu.models.separable import SEPARABLE
+
+    for name in ("exp_sum_3", "gauss_sum_2", "gauss_sum_3"):
+        assert name in CURVES and name in SEPARABLE
+        x, bt = CASES[name]
+        bt = np.asarray(bt, np.float64)
+        y = np.asarray(CURVES[name](jnp.asarray(x), jnp.asarray(bt)))
+        r = curve_fit(name, x, y, "auto", separable=True)
+        assert bool(r.converged), name
+        rel = np.abs(np.asarray(r.minimizer) - bt) / np.abs(bt)
+        assert rel.max() < 1e-4, (name, np.asarray(r.minimizer), bt)
+    # gridded exp_sum_3 basis agrees with the naive model to f64 ulps
+    x, bt = CASES["exp_sum_3"]
+    bt = np.asarray(bt)
+    gm = gridded_model("exp_sum_3", float(x[0]), float(x[1] - x[0]), len(x))
+    y_naive = np.asarray(CURVES["exp_sum_3"](jnp.asarray(x), jnp.asarray(bt)))
+    y_grid = np.asarray(gm(jnp.asarray(x), jnp.asarray(bt)))
+    np.testing.assert_allclose(y_grid, y_naive, rtol=1e-12)
+    # and the gridded separable fit converges too
+    y = y_naive
+    r = curve_fit_batch(
+        "exp_sum_3", x, jnp.asarray(y)[None, :], "auto",
+        separable=True, gridded=True, min_converged_fraction=1.0,
+    )
+    assert np.asarray(r["converged"]).all()
 
 
 def test_separable_model_auto_p0():
