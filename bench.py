@@ -84,6 +84,18 @@ VarPro route the amplitude (b0) start perturbation is inert — the
 linear coefficient is re-solved in closed form each iteration — so the
 rationale above describes the joint route; for cross-round
 comparability with rounds 1-2 run ``--hard --joint``.
+
+``--auto-start`` measures the start-free variant (round 5): the
+0.7-1.4x-of-truth starts are replaced by the closed-form data-driven
+initializer (``models.guess_p0``), recomputed per chained batch INSIDE
+the timed region — what a user with no starting values gets. Measured
+2026-08-20 on the v5e chip: 52.6M converged fits/s (49% of the
+given-starts headline; 99.8% converged, identical median rel err
+4.0e-6 — the 2x cost is the initializer's extra data passes plus the
+slightly farther starts). Composed ``--hard --auto-start`` (1% noise,
+no starts): 49.0M fits/s, 95.2% converged, median rel err 5.2e-3 (the
+data noise floor) — within 6% of the hard variant WITH 0.25-4x given
+starts, i.e. start-free robustness is essentially free on this route.
 """
 
 import json
@@ -176,6 +188,12 @@ def main():
 
     hard = "--hard" in sys.argv
     joint = "--joint" in sys.argv
+    # --auto-start: the start-free variant of the same workload — the
+    # 0.7-1.4x-of-truth starts are replaced by the data-driven
+    # closed-form initializer (models.guess_p0, round-5 feature), whose
+    # cost runs INSIDE the timed region once per chained batch. This is
+    # what a user with no starting values at all gets.
+    auto_start = "--auto-start" in sys.argv
     max_iters = 150 if hard else MAX_ITERS
     conv_frac = 0.95 if hard else CONV_FRAC
 
@@ -276,9 +294,26 @@ def main():
     R = 40 if joint else (160 if hard else 1952)
     perturbs = jnp.linspace(1.0, 1.0 + 1e-4, R, dtype=dtype)
 
+    if auto_start:
+        from leastsquaresoptim_jl_tpu.models import guess_p0
+
+        x00_ref = float(x0s[0, 0])
+
+        def chain_start(x0, c, d):
+            # x0 itself is unused (that's the point); its first entry
+            # carries the rep-variation scalar so successive timed reps
+            # are distinct dispatches (axon may serve identical ones
+            # from cache). The guess is recomputed per chained batch —
+            # its cost is part of the measured rate.
+            scale = x0[0, 0] / x00_ref
+            return guess_p0("exp_saturation", xdata, d[1]) * (c * scale)
+    else:
+        def chain_start(x0, c, d):
+            return x0 * c
+
     def run_batches(x0, d):
         mins, convs = jax.lax.map(
-            lambda c: solve_to_conv(x0 * c, d), perturbs
+            lambda c: solve_to_conv(chain_start(x0, c, d), d), perturbs
         )
         # Accuracy summary computed ON DEVICE: the timed fetch moves only
         # scalars (an 800 KB minimizer fetch through the axon tunnel was
@@ -471,7 +506,12 @@ def main():
     )
     if hard:
         metric += "_hard"
-        workload += ", 1% noise, 0.25-4x starts"
+        workload += ", 1% noise"
+        if not auto_start:
+            workload += ", 0.25-4x starts"
+    if auto_start:
+        metric += "_autostart"
+        workload += ", start-free (guess_p0 in the timed region)"
     print(
         json.dumps(
             {
