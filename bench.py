@@ -88,13 +88,15 @@ comparability with rounds 1-2 run ``--hard --joint``.
 ``--auto-start`` measures the start-free variant (round 5): the
 0.7-1.4x-of-truth starts are replaced by the closed-form data-driven
 initializer (``models.guess_p0``), recomputed per chained batch INSIDE
-the timed region — what a user with no starting values gets. Measured
-2026-08-20 on the v5e chip: 52.6M converged fits/s (49% of the
-given-starts headline; 99.8% converged, identical median rel err
+the timed region — what a user with no starting values gets. The
+loop-varying chain scalar feeds into the guess INPUT so XLA cannot
+hoist the initializer out of the chain (hoist-proof by construction).
+Measured 2026-08-20 on the v5e chip: 51.7M converged fits/s (49% of
+the given-starts headline; 99.8% converged, identical median rel err
 4.0e-6 — the 2x cost is the initializer's extra data passes plus the
 slightly farther starts). Composed ``--hard --auto-start`` (1% noise,
-no starts): 49.0M fits/s, 95.2% converged, median rel err 5.2e-3 (the
-data noise floor) — within 6% of the hard variant WITH 0.25-4x given
+no starts): 47.7M fits/s, 95.2% converged, median rel err 5.2e-3 (the
+data noise floor) — within 9% of the hard variant WITH 0.25-4x given
 starts, i.e. start-free robustness is essentially free on this route.
 """
 
@@ -303,10 +305,15 @@ def main():
             # x0 itself is unused (that's the point); its first entry
             # carries the rep-variation scalar so successive timed reps
             # are distinct dispatches (axon may serve identical ones
-            # from cache). The guess is recomputed per chained batch —
-            # its cost is part of the measured rate.
+            # from cache). The loop-varying scalar c feeds INTO the
+            # guess input (not just the output) so XLA's loop-invariant
+            # code motion cannot hoist the initializer out of the R-long
+            # lax.map chain — the guess is genuinely recomputed per
+            # chained batch and its cost is part of the measured rate.
+            # Scaling y scales the recovered amplitude linearly and
+            # leaves the rate estimate unchanged (c - 1 <= 1e-4).
             scale = x0[0, 0] / x00_ref
-            return guess_p0("exp_saturation", xdata, d[1]) * (c * scale)
+            return guess_p0("exp_saturation", xdata, d[1] * c) * scale
     else:
         def chain_start(x0, c, d):
             return x0 * c

@@ -341,7 +341,7 @@ def _gauss_sum_guess(x, y, k):
     sig_hi = span.astype(y.dtype)
 
     resid = y
-    mus, sigs, amps = [], [], []
+    mus, sigs = [], []
     for _ in range(k):
         i = jnp.argmax(resid, axis=-1)
         a = jnp.take_along_axis(resid, i[..., None], axis=-1)[..., 0]
@@ -359,7 +359,8 @@ def _gauss_sum_guess(x, y, k):
         sig = jnp.clip(jnp.sqrt(s2), sig_lo, sig_hi)
         mus.append(mu)
         sigs.append(sig)
-        amps.append(a)
+        # the greedy per-peak amplitude `a` only shapes the subtraction;
+        # final amplitudes come from the ridged re-solve below
         resid = resid - a[..., None] * jnp.exp(
             -(d * d) / (2.0 * sig * sig)[..., None]
         )

@@ -169,16 +169,6 @@ SEPARABLE = {
     "michaelis_menten": SeparableModel(
         (0,), (1,), lambda x, a: _col(x / (a[0] + x))
     ),
-    # b0 exp(-b1 x) + b2 exp(-b3 x): linear (b0, b2), nonlinear (b1, b3);
-    # permutable terms canonicalized to rates ascending
-    "exp_sum_2": SeparableModel(
-        (0, 2),
-        (1, 3),
-        lambda x, a: jnp.stack(
-            [jnp.exp(-a[0] * x), jnp.exp(-a[1] * x)], axis=-1
-        ),
-        canonical=canonical_sorted_exp_pairs,
-    ),
 }
 
 def exp_sum_separable(k: int, *, t0=None, dt=None, m=None) -> SeparableModel:
@@ -257,6 +247,10 @@ def gauss_sum_separable(k: int) -> SeparableModel:
 
 # Named k-term entries so string-keyed curve_fit("exp_sum_3"/"gauss_sum_2"
 # /"gauss_sum_3", ...) reaches the builders without importing them.
+# exp_sum_2 is registered via the builder too (not a hand literal) so the
+# SeparableModel OBJECT carries the guess hook — p0="auto" must work the
+# same whether the user passes the name or SEPARABLE["exp_sum_2"] itself.
+SEPARABLE["exp_sum_2"] = exp_sum_separable(2)
 SEPARABLE["exp_sum_3"] = exp_sum_separable(3)
 SEPARABLE["gauss_sum_2"] = gauss_sum_separable(2)
 SEPARABLE["gauss_sum_3"] = gauss_sum_separable(3)

@@ -255,7 +255,11 @@ def varpro_lm_p1_kernel_solve(
     # so including them would weight fit 0 up to block_fits times and
     # shift the stop point vs batch.py's contract when B % block_fits != 0.
     need_count = int(math.ceil(min_converged_fraction * B - 1e-9))
-    need = jnp.int32(min(B, max(1, need_count)))
+    # frac <= 0 short-circuits like batch.py: need = 0 makes cond false
+    # immediately and the initial state is returned untouched.
+    need = jnp.int32(
+        min(B, max(1, need_count)) if min_converged_fraction > 0 else 0
+    )
     max_launches = -(-int(iterations) // k_iters)
 
     def cond(carry):

@@ -191,7 +191,9 @@ def spd_chol_solve(gram, rhs):
 
     L = cholesky(gram, lower=True)
     z = solve_triangular(L, rhs, lower=True)
-    return solve_triangular(L.T, z, lower=False)
+    # swapaxes, not .T: gram may carry leading batch axes (e.g. the
+    # batched k>8 initializer Gram) and ndarray.T reverses ALL axes.
+    return solve_triangular(jnp.swapaxes(L, -1, -2), z, lower=False)
 
 
 def unrolled_mgs_solve(A, b):

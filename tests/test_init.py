@@ -425,3 +425,61 @@ def test_guess_dtype_follows_data():
     x, y, _ = _data("gaussian")
     g32 = guess_p0("gaussian", x, np.asarray(y, np.float32))
     assert g32.dtype == jnp.float32
+
+
+def test_spd_chol_solve_batched_large_n():
+    """The n > 8 XLA Cholesky path must accept LEADING BATCH AXES: the
+    batched k>8 initializer Gram reaches it directly (no vmap), and
+    ndarray.T on a (B, n, n) factor reverses ALL axes — regression for
+    the swapaxes fix in ops/linalg.spd_chol_solve."""
+    from leastsquaresoptim_jl_tpu.ops.linalg import spd_chol_solve
+
+    rng = np.random.default_rng(3)
+    B, n = 4, 12  # n > UNROLLED_SOLVE_MAX_N = 8
+    A = rng.standard_normal((B, n, 2 * n))
+    G = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+    r = rng.standard_normal((B, n))
+    got = np.asarray(spd_chol_solve(jnp.asarray(G), jnp.asarray(r)))
+    want = np.linalg.solve(G, r[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_guess_gauss_sum_batched_k9():
+    """k > 8 sends the amplitude re-solve down the XLA Cholesky path;
+    batched data must still give finite, shaped guesses (this crashed
+    before the spd_chol_solve batched-transpose fix)."""
+    from leastsquaresoptim_jl_tpu.models import guess_gauss_sum
+
+    k, m, B = 9, 512, 3
+    x = np.linspace(0.0, 90.0, m)
+    rng = np.random.default_rng(5)
+    mus = np.linspace(5.0, 85.0, k)
+    y = sum(
+        (2.0 + j) * np.exp(-((x - mus[j]) ** 2) / (2 * 1.5**2))
+        for j in range(k)
+    )
+    Y = jnp.asarray(
+        np.stack([y * (1.0 + 0.1 * b) for b in range(B)])
+        + 0.01 * rng.standard_normal((B, m))
+    )
+    G = guess_gauss_sum(x, Y, k)
+    assert G.shape == (B, 3 * k)
+    assert np.isfinite(np.asarray(G)).all()
+
+
+def test_exp_sum_2_registered_with_guess_hook():
+    """SEPARABLE['exp_sum_2'] is built by exp_sum_separable(2) so the
+    OBJECT carries the guess hook — p0='auto' must work the same whether
+    the user passes the name or the SeparableModel itself (it used to be
+    a hand literal without the hook and only the name worked)."""
+    from leastsquaresoptim_jl_tpu.models.separable import SEPARABLE
+
+    x = np.linspace(0.0, 6.0, 64)
+    bt = np.array([2.5, 0.5, 1.2, 2.2])
+    y = bt[0] * np.exp(-bt[1] * x) + bt[2] * np.exp(-bt[3] * x)
+    sep = SEPARABLE["exp_sum_2"]
+    assert sep.guess is not None
+    r = curve_fit(sep, x, y, "auto", separable=True)
+    assert bool(r.converged)
+    rel = np.abs(np.asarray(r.minimizer) - bt) / np.abs(bt)
+    assert rel.max() < 1e-3

@@ -172,3 +172,15 @@ def test_kernel_f64_dtype_follows_y():
     rel = jnp.abs(out["alpha"] - bt[:, 1]) / jnp.abs(bt[:, 1])
     # stops at the (absolute) 1e-6 tolerances, not at f64 resolution
     assert float(jnp.median(rel)) < 1e-7
+
+
+def test_kernel_fraction_zero_short_circuits():
+    """min_converged_fraction <= 0 mirrors batch.py's degenerate
+    contract: need = 0, the launch loop never runs, and the initial
+    state comes back untouched (alpha == alpha0, zero iterations)."""
+    xd, Y, p0, _ = _problem()
+    out = _kernel_solve(xd, Y, p0[:, 1], min_converged_fraction=0.0)
+    np.testing.assert_array_equal(np.asarray(out["alpha"]),
+                                  np.asarray(p0[:, 1]))
+    assert not np.asarray(out["done"]).any()
+    assert (np.asarray(out["iterations"]) == 0).all()
