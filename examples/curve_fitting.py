@@ -68,11 +68,12 @@ def main():
     raw_g = lso.curve_fit_batch(
         "exp_saturation", x, Y, betas * 1.3, gridded=True
     )
-    agree = np.allclose(
-        np.asarray(raw_g["minimizer"]), np.asarray(raw["minimizer"]),
-        rtol=1e-6,
-    )
-    print(f"gridded: same minimizers: {agree}")
+    # the two routes evaluate the same curve through different exp
+    # formulations, so their minimizers agree to the convergence-criteria
+    # band of the active dtype (f32 on TPU), not bit-for-bit
+    mg, mn = np.asarray(raw_g["minimizer"]), np.asarray(raw["minimizer"])
+    diff = np.max(np.abs(mg - mn) / np.maximum(np.abs(mn), 1e-30))
+    print(f"gridded: minimizers agree to max rel diff {diff:.1e}")
 
     # 7. variable projection (VarPro): the amplitude is linear in the
     # model, so it is eliminated in closed form and the outer solve runs
